@@ -1,0 +1,252 @@
+"""Sparse matrix × dense matrix (SpMM) — the framework's hottest kernel.
+
+The reference's entire encoder cost is torch_sparse's CUDA SpMM invoked by
+every PyG convolution on the FULL graph each train step (reference
+model.py:150-151 inside the batch loop; layer.py:30-63).  Here SpMM is built
+TPU-first in three interchangeable implementations:
+
+* :func:`spmm_segment` — gather + ``jax.ops.segment_sum``.  Simple, always
+  correct, differentiable by XLA.  Used as the parity oracle in tests and the
+  fallback for exotic cases.
+* :func:`spmm_dense` — densify A and ride the MXU.  For small graphs
+  (ogbl-ddi: 4,267 nodes) a dense 4267² bf16 matmul is *faster* than any
+  sparse path on TPU; this is a deliberate TPU-native design choice with no
+  reference counterpart.
+* :func:`spmm_blocked` — the production sparse path.  Edges are pre-grouped by
+  destination row-block (graph.with_blocks); each block of B edges becomes a
+  one-hot (B×R) × gathered-features (B×D) matmul on the MXU, so the irregular
+  scatter-add is re-expressed as dense systolic-array work plus one small
+  sorted segment-sum over row-blocks.  A custom VJP routes the backward
+  through the transposed graph's blocked SpMM (dX = Aᵀ dY), avoiding XLA's
+  slow generic scatter.
+
+All support ``reduce ∈ {sum, mean}`` matching torch_sparse
+``matmul(reduce=...)`` semantics (mean divides by in-degree, 0 for isolated
+rows — torch_sparse spmm_mean behavior).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from plnlp_tpu.graph import Graph
+
+__all__ = ["spmm", "spmm_segment", "spmm_blocked", "spmm_dense"]
+
+
+def _mean_scale(graph: Graph, out: jnp.ndarray) -> jnp.ndarray:
+    deg = graph.in_degrees
+    scale = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1), 0.0).astype(out.dtype)
+    return out * scale[:, None]
+
+
+# ---------------------------------------------------------------------------
+# Reference implementation: gather + segment_sum
+# ---------------------------------------------------------------------------
+
+
+def spmm_segment(graph: Graph, x: jnp.ndarray, reduce: str = "sum") -> jnp.ndarray:
+    """out[i] = reduce_{e: receivers[e]==i} edge_weight[e] * x[senders[e]]."""
+    msgs = x[graph.senders] * graph.edge_weight[:, None].astype(x.dtype)
+    out = jax.ops.segment_sum(
+        msgs,
+        graph.receivers,
+        num_segments=graph.num_nodes,
+        indices_are_sorted=True,
+    )
+    if reduce == "mean":
+        out = _mean_scale(graph, out)
+    elif reduce != "sum":
+        raise ValueError(f"unknown reduce: {reduce}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Dense path (small graphs): A @ X on the MXU
+# ---------------------------------------------------------------------------
+
+
+def densify(graph: Graph, dtype=jnp.float32) -> jnp.ndarray:
+    """Materialize the N×N adjacency (row = destination). Small graphs only."""
+    n = graph.num_nodes
+    a = jnp.zeros((n, n), dtype=dtype)
+    return a.at[graph.receivers, graph.senders].add(
+        graph.edge_weight.astype(dtype)
+    )
+
+
+def spmm_dense(
+    adj: jnp.ndarray,
+    x: jnp.ndarray,
+    reduce: str = "sum",
+    in_degrees: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Dense A @ X. ``adj`` comes from :func:`densify` (computed once)."""
+    out = jnp.dot(adj.astype(x.dtype), x, preferred_element_type=x.dtype)
+    if reduce == "mean":
+        if in_degrees is None:
+            raise ValueError("mean reduce needs in_degrees")
+        scale = jnp.where(
+            in_degrees > 0, 1.0 / jnp.maximum(in_degrees, 1), 0.0
+        ).astype(out.dtype)
+        out = out * scale[:, None]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Blocked one-hot-matmul SpMM (production sparse path)
+# ---------------------------------------------------------------------------
+
+
+# Cap on the materialized gathered-features intermediate per chunk (bytes).
+# Chunking trades one big (nblk, B, D) HBM tensor for a fori_loop of
+# bounded-size gather→matmul→scatter steps — mandatory for graphs where
+# E × D × 4 bytes exceeds a fraction of HBM (e.g. collab: 2.4M × 256 × 4).
+_CHUNK_BYTES = 128 * 1024 * 1024
+
+
+def _chunk_part(x, blk_src, blk_weight, blk_local, R):
+    """One-hot matmul over a chunk of sub-blocks -> (chunk, R, D)."""
+    gathered = x[blk_src] * blk_weight[..., None].astype(x.dtype)
+    onehot = (
+        blk_local[..., None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
+    ).astype(x.dtype)
+    return jnp.einsum(
+        "nbr,nbd->nrd", onehot, gathered, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+
+def _blocked_sum(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
+    """Weighted-sum aggregation via batched one-hot matmuls.
+
+    For each sub-block b (B edges, all destined to row-block k = rowblock[b]):
+        gathered[b] = w[b][:, None] * x[src[b]]            (B, D) gather
+        onehot[b]   = 1[local[b] == 0..R-1]                (B, R)
+        out[k]     += onehotᵀ @ gathered                    (R, D) on the MXU
+    Large graphs are processed in fixed-size chunks of sub-blocks (fori_loop
+    + scatter-add) so HBM intermediates stay bounded.
+    """
+    if graph.blk_src is None:
+        raise ValueError("graph has no blocking metadata; call with_blocks()")
+    R = graph.block_rows
+    B = graph.block_edges
+    n = graph.num_nodes
+    d = x.shape[-1]
+    n_rowblocks = (n + R - 1) // R
+    nblk = graph.blk_src.shape[0]
+    itemsize = jnp.dtype(x.dtype).itemsize
+    chunk = max(1, _CHUNK_BYTES // (B * d * itemsize))
+
+    if nblk <= chunk:
+        blk_out = _chunk_part(
+            x, graph.blk_src, graph.blk_weight, graph.blk_local, R
+        )
+        out = jax.ops.segment_sum(
+            blk_out,
+            graph.blk_rowblock,
+            num_segments=n_rowblocks,
+            indices_are_sorted=True,
+        )
+        return out.reshape(n_rowblocks * R, d)[:n]
+
+    nchunks = (nblk + chunk - 1) // chunk
+    pad = nchunks * chunk - nblk
+    # Padding sub-blocks carry weight 0 -> scatter adds zeros to row-block 0.
+    bsrc = jnp.pad(graph.blk_src, ((0, pad), (0, 0)))
+    bw = jnp.pad(graph.blk_weight, ((0, pad), (0, 0)))
+    bloc = jnp.pad(graph.blk_local, ((0, pad), (0, 0)))
+    brb = jnp.pad(graph.blk_rowblock, (0, pad))
+
+    def body(i, out):
+        s = jax.lax.dynamic_slice_in_dim(bsrc, i * chunk, chunk)
+        w = jax.lax.dynamic_slice_in_dim(bw, i * chunk, chunk)
+        l = jax.lax.dynamic_slice_in_dim(bloc, i * chunk, chunk)
+        rb = jax.lax.dynamic_slice_in_dim(brb, i * chunk, chunk)
+        part = _chunk_part(x, s, w, l, R)
+        return out.at[rb].add(part)
+
+    out = jax.lax.fori_loop(
+        0,
+        nchunks,
+        body,
+        jnp.zeros((n_rowblocks, R, d), x.dtype),
+    )
+    return out.reshape(n_rowblocks * R, d)[:n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _spmm_blocked_core(graph: Graph, graph_t: Graph, x: jnp.ndarray, reduce: str):
+    out = _blocked_sum(graph, x)
+    if reduce == "mean":
+        out = _mean_scale(graph, out)
+    return out
+
+
+def _spmm_blocked_fwd(graph: Graph, graph_t: Graph, x: jnp.ndarray, reduce: str):
+    return _spmm_blocked_core(graph, graph_t, x, reduce), (graph, graph_t)
+
+
+def _zero_cotangent(leaf):
+    # Integer leaves (indices) take symbolic-zero float0 cotangents.
+    if jnp.issubdtype(leaf.dtype, jnp.floating):
+        return jnp.zeros_like(leaf)
+    import numpy as _np
+
+    return _np.zeros(leaf.shape, dtype=jax.dtypes.float0)
+
+
+def _spmm_blocked_bwd(reduce: str, res, g):
+    graph, graph_t = res
+    if reduce == "mean":
+        g = _mean_scale(graph, g)
+    dx = _blocked_sum(graph_t, g)
+    zero_g = jax.tree_util.tree_map(_zero_cotangent, graph)
+    zero_gt = jax.tree_util.tree_map(_zero_cotangent, graph_t)
+    return (zero_g, zero_gt, dx)
+
+
+_spmm_blocked_core.defvjp(_spmm_blocked_fwd, _spmm_blocked_bwd)
+
+
+def spmm_blocked(
+    graph: Graph,
+    graph_t: Graph,
+    x: jnp.ndarray,
+    reduce: str = "sum",
+) -> jnp.ndarray:
+    """MXU-blocked SpMM with a hand-written transposed-SpMM backward.
+
+    ``graph_t`` must be ``transpose_graph(graph)`` (with blocks attached).  For
+    symmetric adjacencies pass the same graph twice.
+    """
+    return _spmm_blocked_core(graph, graph_t, x, reduce)
+
+
+# ---------------------------------------------------------------------------
+# Dispatcher
+# ---------------------------------------------------------------------------
+
+
+def spmm(
+    graph,
+    x: jnp.ndarray,
+    reduce: str = "sum",
+    graph_t=None,
+) -> jnp.ndarray:
+    """Pick the best available implementation for this aggregation operand.
+
+    Accepts a CSR :class:`Graph` (blocked or not) or a
+    :class:`plnlp_tpu.dense.DenseAdj` (dense MXU path for small graphs).
+    """
+    from plnlp_tpu.dense import DenseAdj
+
+    if isinstance(graph, DenseAdj):
+        return spmm_dense(graph.adj, x, reduce, graph.in_degrees)
+    if graph.blk_src is not None and graph_t is not None:
+        return spmm_blocked(graph, graph_t, x, reduce)
+    return spmm_segment(graph, x, reduce)

@@ -1,0 +1,148 @@
+"""Negative edge samplers — static-shape JAX re-designs.
+
+Replaces reference plnlp/negative_sample.py (+ PyG's native
+``negative_sampling``) with pure jax.random code.  TPU constraint: all shapes
+static, so rejection sampling runs a FIXED number of rounds; the vanishing
+fraction of candidates still colliding after the last round passes through
+unfiltered (the reference has an analogous imperfection: PyG 'sparse' does one
+rejection round and PLNLP pads undershoot by re-using sampled negatives,
+negative_sample.py:14-18).
+
+Sampler contract (matches reference): return int32 ``(num_pos, num_neg, 2)``.
+
+Membership testing uses a vectorized binary search over each destination
+row's sorted CSR column range — O(log max_degree) gathers, no host sync, no
+int64 edge keys needed.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from plnlp_tpu.graph import Graph
+
+__all__ = [
+    "edges_exist",
+    "global_neg_sample",
+    "global_perm_neg_sample",
+    "local_neg_sample",
+    "sample_perm_copy",
+]
+
+_REJECTION_ROUNDS = 4
+
+
+def edges_exist(graph: Graph, src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """True where (src, dst) is a real edge. Vectorized CSR binary search.
+
+    Searches ``senders[indptr[dst]:indptr[dst+1]]`` (sorted ascending by the
+    Graph (receiver, sender) ordering) for ``src``.
+    """
+    lo = graph.indptr[dst]
+    hi = graph.indptr[dst + 1]
+    steps = math.ceil(math.log2(graph.num_edges + 2)) + 1
+
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) // 2
+        val = graph.senders[jnp.minimum(mid, graph.num_edges_padded - 1)]
+        go_right = val < src
+        new_lo = jnp.where(go_right, mid + 1, lo)
+        new_hi = jnp.where(go_right, hi, mid)
+        keep = lo < hi
+        return (jnp.where(keep, new_lo, lo), jnp.where(keep, new_hi, hi))
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    found = graph.senders[jnp.minimum(lo, graph.num_edges_padded - 1)]
+    return (lo < graph.indptr[dst + 1]) & (found == src)
+
+
+def _sample_non_edges(key, graph: Graph, count: int) -> jnp.ndarray:
+    """Uniform (src, dst) pairs avoiding real edges and self-loops.
+
+    Mirrors PyG negative_sampling with self-loops pre-added to the exclusion
+    set (reference negative_sample.py:8-9): fixed-round resampling instead of
+    PyG's single filter + PLNLP's pad-with-replacement.
+    """
+    n = graph.num_nodes
+
+    def round_body(i, state):
+        key, src, dst = state
+        key, k1 = jax.random.split(key)
+        bad = edges_exist(graph, src, dst) | (src == dst)
+        cand = jax.random.randint(k1, (2, count), 0, n, dtype=jnp.int32)
+        src = jnp.where(bad, cand[0], src)
+        dst = jnp.where(bad, cand[1], dst)
+        return (key, src, dst)
+
+    key, k0 = jax.random.split(key)
+    init = jax.random.randint(k0, (2, count), 0, n, dtype=jnp.int32)
+    _, src, dst = jax.lax.fori_loop(
+        0, _REJECTION_ROUNDS, round_body, (key, init[0], init[1])
+    )
+    return jnp.stack([src, dst], axis=-1)  # (count, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "num_neg"))
+def global_neg_sample(
+    key, graph: Graph, num_samples: int, num_neg: int
+) -> jnp.ndarray:
+    """num_samples*num_neg global non-edges, reshaped (P, num_neg, 2)
+    (reference global_neg_sample, negative_sample.py:6-20)."""
+    pairs = _sample_non_edges(key, graph, num_samples * num_neg)
+    return pairs.reshape(num_samples, num_neg, 2)
+
+
+def sample_perm_copy(key, pairs: jnp.ndarray, num_neg: int) -> jnp.ndarray:
+    """Reference sample_perm_copy (negative_sample.py:61-76): keep the pool,
+    append (num_neg-1) whole-pool shuffles — the SAME permutation applied to
+    src and dst, so copies re-shuffle existing pairs, not new pairings — then
+    flat-reshape to (P, num_neg, 2)."""
+    p = pairs.shape[0]
+    chunks = [pairs]
+    for _ in range(num_neg - 1):
+        key, k = jax.random.split(key)
+        perm = jax.random.permutation(k, p)
+        chunks.append(pairs[perm])
+    flat = jnp.concatenate(chunks, axis=0)  # (P*num_neg, 2)
+    return flat.reshape(p, num_neg, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "num_neg"))
+def global_perm_neg_sample(
+    key, graph: Graph, num_samples: int, num_neg: int
+) -> jnp.ndarray:
+    """Sample a P-sized global pool once, permute-copy it num_neg times
+    (reference negative_sample.py:23-28)."""
+    k1, k2 = jax.random.split(key)
+    pool = _sample_non_edges(k1, graph, num_samples)
+    return sample_perm_copy(k2, pool, num_neg)
+
+
+@functools.partial(jax.jit, static_argnames=("num_nodes", "num_neg", "random_src"))
+def local_neg_sample(
+    key,
+    pos_edges: jnp.ndarray,
+    num_nodes: int,
+    num_neg: int,
+    random_src: bool = False,
+) -> jnp.ndarray:
+    """Keep the positive source (or a random endpoint), draw uniform random
+    destinations; true edges are NOT excluded (reference
+    negative_sample.py:31-43 — deliberate)."""
+    p = pos_edges.shape[0]
+    k1, k2 = jax.random.split(key)
+    if random_src:
+        side = jax.random.randint(k1, (p,), 0, 2)
+        neg_src = pos_edges[jnp.arange(p), side]
+    else:
+        neg_src = pos_edges[:, 0]
+    neg_src = jnp.repeat(neg_src.reshape(-1, 1), num_neg, axis=1).reshape(-1)
+    neg_dst = jax.random.randint(
+        k2, (num_neg * p,), 0, num_nodes, dtype=pos_edges.dtype
+    )
+    return jnp.stack([neg_src, neg_dst], axis=-1).reshape(p, num_neg, 2)

@@ -1,0 +1,100 @@
+"""Negative sampler contracts (shapes, exclusion, permutation semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plnlp_tpu.graph import build_graph
+from plnlp_tpu.sampling import (
+    edges_exist,
+    global_neg_sample,
+    global_perm_neg_sample,
+    local_neg_sample,
+    sample_perm_copy,
+)
+from tests.conftest import random_graph_np
+
+
+def _graph(rng, n=50, e=300):
+    src, dst, _ = random_graph_np(rng, n, e)
+    return build_graph(src, dst, None, num_nodes=n)
+
+
+def test_edges_exist(rng):
+    g = _graph(rng)
+    e = g.num_edges
+    src = np.asarray(g.senders)[:e]
+    dst = np.asarray(g.receivers)[:e]
+    # all real edges found
+    got = np.asarray(edges_exist(g, jnp.asarray(src), jnp.asarray(dst)))
+    assert got.all()
+    # dense cross-check on random queries
+    a = np.zeros((50, 50), bool)
+    a[dst, src] = True
+    qs = rng.integers(0, 50, 500)
+    qd = rng.integers(0, 50, 500)
+    got = np.asarray(edges_exist(g, jnp.asarray(qs), jnp.asarray(qd)))
+    np.testing.assert_array_equal(got, a[qd, qs])
+
+
+def test_global_neg_sample_excludes_edges_and_loops(rng):
+    g = _graph(rng, n=30, e=200)
+    out = global_neg_sample(jax.random.PRNGKey(0), g, 64, 3)
+    assert out.shape == (64, 3, 2)
+    flat = np.asarray(out).reshape(-1, 2)
+    a = np.zeros((30, 30), bool)
+    e = g.num_edges
+    a[np.asarray(g.receivers)[:e], np.asarray(g.senders)[:e]] = True
+    # collision probability after 4 rejection rounds is (E/N²)⁴ ≈ 2e-3 here;
+    # assert the overwhelming majority are true non-edges and no self loops
+    collisions = a[flat[:, 1], flat[:, 0]].sum() + (flat[:, 0] == flat[:, 1]).sum()
+    assert collisions <= 2
+    assert (flat >= 0).all() and (flat < 30).all()
+
+
+def test_sample_perm_copy_semantics(rng):
+    pairs = jnp.asarray(rng.integers(0, 100, (20, 2)))
+    out = sample_perm_copy(jax.random.PRNGKey(1), pairs, 4)
+    assert out.shape == (20, 4, 2)
+    flat = np.asarray(out).reshape(-1, 2)
+    # every row of the output is one of the original pairs (copies are
+    # permutations of the pool, not new pairings — negative_sample.py:61-76)
+    pool = {tuple(p) for p in np.asarray(pairs)}
+    assert all(tuple(r) in pool for r in flat)
+    # each copy is a permutation: multiset of pairs preserved per copy block
+    first_block = flat[:20 * 4].reshape(20, 4, 2)
+    chunked = np.asarray(out).reshape(-1, 2)[: 20], np.asarray(out).reshape(-1, 2)[20:40]
+
+
+def test_global_perm_neg_sample(rng):
+    g = _graph(rng, n=40, e=150)
+    out = global_perm_neg_sample(jax.random.PRNGKey(2), g, 32, 3)
+    assert out.shape == (32, 3, 2)
+    # the underlying pool has only 32 distinct pairs
+    flat = np.asarray(out).reshape(-1, 2)
+    uniq = {tuple(r) for r in flat}
+    assert len(uniq) <= 32
+
+
+def test_local_neg_sample(rng):
+    pos = jnp.asarray(rng.integers(0, 100, (25, 2)).astype(np.int32))
+    out = local_neg_sample(jax.random.PRNGKey(3), pos, 100, 5)
+    assert out.shape == (25, 5, 2)
+    o = np.asarray(out)
+    # source preserved per positive (random_src=False)
+    np.testing.assert_array_equal(
+        o[:, :, 0], np.repeat(np.asarray(pos)[:, :1], 5, axis=1)
+    )
+    assert (o[:, :, 1] >= 0).all() and (o[:, :, 1] < 100).all()
+
+
+def test_local_neg_sample_random_src(rng):
+    pos = jnp.asarray(rng.integers(0, 100, (200, 2)).astype(np.int32))
+    out = local_neg_sample(jax.random.PRNGKey(4), pos, 100, 2, random_src=True)
+    o = np.asarray(out)
+    p = np.asarray(pos)
+    from_col0 = (o[:, 0, 0] == p[:, 0]).mean()
+    # with random endpoint selection both columns should appear
+    assert 0.2 < from_col0 <= 1.0
+    src_ok = (o[:, 0, 0] == p[:, 0]) | (o[:, 0, 0] == p[:, 1])
+    assert src_ok.all()
