@@ -1,0 +1,91 @@
+"""Benchmark harness — prints ONE JSON line with the north-star metric.
+
+Metric: aggregated-edges/s/chip through the FULL flagship train step
+(2-layer SAGE encoder full-graph fwd+bwd + MLP pair scoring + AUC loss +
+Adam update) on an ogbl-ddi-sized synthetic graph (N=4267, E≈2M after
+symmetrization), dense-adjacency backend — the configuration the reference's
+headline ogbl-ddi result trains (reference README.md:24, BASELINE.md).
+
+edges/s = num_edges × gnn_layers × 2 (fwd+bwd) / step_time.
+
+vs_baseline is relative to the first honest measurement from round 1
+(239 M agg-edges/s, f32, pre-optimization) so the series tracks progress.
+"""
+
+import json
+import time
+
+BASELINE_EDGES_PER_SEC = 239e6  # round-1 first measurement, dense path, f32
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plnlp_tpu.dense import prepare_dense
+    from plnlp_tpu.graph import prepare_graph
+    from plnlp_tpu.training import Model, ModelConfig
+
+    rng = np.random.default_rng(0)
+    n, e, dim, batch, num_neg = 4267, 1_067_000, 512, 64 * 1024, 3
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    dense = prepare_dense(src, dst, None, num_nodes=n, symmetrize=True)
+    csr, _ = prepare_graph(src, dst, None, num_nodes=n, symmetrize=True, block=None)
+    num_edges = csr.num_edges
+
+    cfg = ModelConfig(
+        emb_hidden_channels=dim,
+        gnn_hidden_channels=dim,
+        mlp_hidden_channels=dim,
+        batch_size=batch,
+        num_neg=num_neg,
+        dropout=0.3,
+    )
+    model = Model(cfg, num_nodes=n)
+    params = model.init_params(jax.random.PRNGKey(0))
+    opt_state = model.init_opt_state(params)
+    pos = jnp.asarray(rng.integers(0, n, (batch, 2)).astype(np.int32))
+    neg = jnp.asarray(
+        rng.integers(0, n, (batch, num_neg, 2)).astype(np.int32)
+    )
+    margin = jnp.zeros((batch,), jnp.float32)
+    mask = jnp.ones((batch,), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+
+    def one_step(params, opt_state, key):
+        return model._train_step(
+            params, opt_state, dense, None, None, pos, neg, margin, mask,
+            lr, key, False,
+        )
+
+    # warmup/compile.  NOTE: sync via float(loss) (device->host readback) —
+    # block_until_ready() does NOT wait for execution on the axon tunnel.
+    params, opt_state, loss = one_step(params, opt_state, jax.random.PRNGKey(1))
+    float(loss)
+
+    iters = 20
+    t0 = time.time()
+    for i in range(iters):
+        params, opt_state, loss = one_step(
+            params, opt_state, jax.random.PRNGKey(i)
+        )
+    float(loss)  # forces the whole dependent chain
+    dt = (time.time() - t0) / iters
+
+    edges_per_sec = num_edges * cfg.gnn_num_layers * 2 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_step_agg_edges_per_sec_per_chip",
+                "value": round(edges_per_sec),
+                "unit": "edges/s (full ddi-size train step: 2-layer SAGE fwd+bwd + MLP scoring + Adam)",
+                "vs_baseline": round(edges_per_sec / BASELINE_EDGES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,466 @@
+"""CLI driver — the reference's main.py re-built for TPU.
+
+Flag surface mirrors reference main.py:16-66 one-to-one (all 33 flags, same
+names/defaults) so the three README repro commands translate verbatim, plus
+a few TPU-specific extras (--adj_backend, --block_rows/--block_edges,
+--seed, --reset_optimizer).
+
+Pipeline (reference main.py:69-305):
+  load dataset → per-dataset graph surgery (citation2 symmetrize; collab
+  year-filter / val-edges-as-input with degree-normalized train weights) →
+  encoder-specific adjacency normalization → build device graph (dense or
+  blocked CSR, chosen per graph) → multi-run train/eval protocol with
+  Logger, optional per-epoch random-walk augmentation and linear LR decay.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plnlp_tpu.augment import random_walk_pairs
+from plnlp_tpu.data import load_dataset
+from plnlp_tpu.dense import prepare_dense
+from plnlp_tpu.graph import (
+    coalesce_edges,
+    gcn_normalize_edges,
+    prepare_graph,
+    row_normalize_edges,
+    to_undirected_edges,
+)
+from plnlp_tpu.logger import Logger
+from plnlp_tpu.training import Model, ModelConfig, adjust_lr
+
+__all__ = ["argument", "main", "run_experiment", "prepare_experiment"]
+
+
+def str2bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def argument(argv=None):
+    """All 33 reference flags (main.py:16-55) + TPU extras."""
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--encoder", type=str, default="SAGE")
+    parser.add_argument("--predictor", type=str, default="MLP")
+    parser.add_argument("--optimizer", type=str, default="Adam")
+    parser.add_argument("--loss_func", type=str, default="AUC")
+    parser.add_argument("--neg_sampler", type=str, default="global")
+    parser.add_argument("--data_name", type=str, default="ogbl-ddi")
+    parser.add_argument("--data_path", type=str, default="dataset")
+    parser.add_argument("--eval_metric", type=str, default="hits")
+    parser.add_argument("--walk_start_type", type=str, default="edge")
+    parser.add_argument("--res_dir", type=str, default="")
+    parser.add_argument("--pretrain_emb", type=str, default="")
+    parser.add_argument("--gnn_num_layers", type=int, default=2)
+    parser.add_argument("--mlp_num_layers", type=int, default=2)
+    parser.add_argument("--emb_hidden_channels", type=int, default=256)
+    parser.add_argument("--gnn_hidden_channels", type=int, default=256)
+    parser.add_argument("--mlp_hidden_channels", type=int, default=256)
+    parser.add_argument("--dropout", type=float, default=0.0)
+    parser.add_argument("--grad_clip_norm", type=float, default=2.0)
+    parser.add_argument("--batch_size", type=int, default=64 * 1024)
+    parser.add_argument("--lr", type=float, default=0.001)
+    parser.add_argument("--num_neg", type=int, default=1)
+    parser.add_argument("--walk_length", type=int, default=5)
+    parser.add_argument("--epochs", type=int, default=500)
+    parser.add_argument("--log_steps", type=int, default=1)
+    parser.add_argument("--eval_steps", type=int, default=5)
+    parser.add_argument("--runs", type=int, default=10)
+    parser.add_argument("--year", type=int, default=-1)
+    parser.add_argument("--device", type=int, default=0)
+    parser.add_argument("--use_lr_decay", type=str2bool, default=False)
+    parser.add_argument("--use_node_feats", type=str2bool, default=False)
+    parser.add_argument("--use_coalesce", type=str2bool, default=False)
+    parser.add_argument("--train_node_emb", type=str2bool, default=True)
+    # --train_on_subgraph is accepted for CLI parity but is a no-op, exactly
+    # like the reference (code commented out at main.py:152-173).
+    parser.add_argument("--train_on_subgraph", type=str2bool, default=False)
+    parser.add_argument("--use_valedges_as_input", type=str2bool, default=False)
+    parser.add_argument("--eval_last_best", type=str2bool, default=False)
+    parser.add_argument("--random_walk_augment", type=str2bool, default=False)
+    # --- TPU-native extras (no reference counterpart) ---
+    parser.add_argument(
+        "--adj_backend",
+        type=str,
+        default="auto",
+        choices=["auto", "dense", "csr"],
+        help="dense adjacency (MXU path, small graphs) vs blocked CSR",
+    )
+    parser.add_argument("--dense_threshold", type=int, default=20000)
+    parser.add_argument("--block_rows", type=int, default=128)
+    parser.add_argument("--block_edges", type=int, default=512)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--reset_optimizer", type=str2bool, default=False,
+                        help="re-init optimizer state per run (the reference "
+                        "carries Adam moments across runs, model.py:85-96)")
+    return parser.parse_args(argv)
+
+
+# ---------------------------------------------------------------------------
+# Dataset surgery (reference main.py:105-186), all host-side NumPy
+# ---------------------------------------------------------------------------
+
+
+def apply_dataset_surgery(ds: Dict, args) -> Dict:
+    """Returns {adj_src, adj_dst, adj_weight, split_edge, ...} after the
+    per-dataset tricks.  Mutates a copy of split_edge only."""
+    split_edge = {
+        k: dict(v) if isinstance(v, dict) else v
+        for k, v in ds["split_edge"].items()
+    }
+    num_nodes = ds["num_nodes"]
+    adj_src, adj_dst = ds["edge_index"][0], ds["edge_index"][1]
+    adj_weight = ds.get("edge_weight")
+    if adj_weight is not None:
+        adj_weight = np.asarray(adj_weight, np.float32).reshape(-1)
+    symmetrize = bool(ds.get("directed"))  # citation2: to_symmetric (main.py:109-110)
+
+    if args.data_name.startswith("ogbl-collab") or (
+        ds["name"].startswith("synthetic") and "year" in split_edge.get("train", {})
+    ):
+        # Year filter (main.py:113-127)
+        if args.year > 0 and "year" in split_edge["train"]:
+            sel = split_edge["train"]["year"] >= args.year
+            split_edge["train"]["edge"] = split_edge["train"]["edge"][sel]
+            split_edge["train"]["weight"] = split_edge["train"]["weight"][sel]
+            split_edge["train"]["year"] = split_edge["train"]["year"][sel]
+            tr = split_edge["train"]["edge"]
+            s, d, w = to_undirected_edges(
+                tr[:, 0], tr[:, 1], split_edge["train"]["weight"], num_nodes
+            )
+            adj_src, adj_dst, adj_weight = s, d, w
+            symmetrize = False
+    if args.use_valedges_as_input and "edge" in split_edge["train"]:
+        # Use training + validation edges (main.py:129-150).
+        tr = split_edge["train"]["edge"]
+        va = split_edge["valid"]["edge"]
+        full_edge = np.concatenate([va, tr], axis=0)  # [valid, train]
+        # NOTE: the reference concatenates the WEIGHTS in the opposite order
+        # ([train, valid], main.py:134-135) — a misalignment bug preserved
+        # verbatim for parity (harmless for the README configs: SAGE ignores
+        # edge weights and the RW config overwrites weights per epoch).
+        full_weight = np.concatenate(
+            [
+                np.asarray(split_edge["train"].get("weight", np.ones(len(tr)))),
+                np.asarray(split_edge["valid"].get("weight", np.ones(len(va)))),
+            ]
+        ).astype(np.float32)
+        s, d, w = to_undirected_edges(
+            full_edge[:, 0], full_edge[:, 1], full_weight, num_nodes
+        )
+        adj_src, adj_dst, adj_weight = s, d, w
+        symmetrize = False
+        if args.use_coalesce:
+            fe_s, fe_d, fw = coalesce_edges(
+                full_edge[:, 0], full_edge[:, 1], full_weight, num_nodes
+            )
+            full_edge = np.stack([fe_s, fe_d], axis=1)
+            full_weight = fw
+        # Degree-normalized train weights d_u^-1/2 · w · d_v^-1/2
+        # (main.py:144-150); degrees from the merged adjacency.
+        deg = np.zeros(num_nodes, np.float64)
+        np.add.at(deg, d, w.astype(np.float64))
+        with np.errstate(divide="ignore"):
+            dinv = np.power(deg, -0.5)
+        dinv[np.isinf(dinv)] = 0.0
+        split_edge["train"]["edge"] = full_edge.astype(np.int64)
+        split_edge["train"]["weight"] = (
+            dinv[full_edge[:, 0]] * full_weight * dinv[full_edge[:, 1]]
+        ).astype(np.float32)
+
+    if symmetrize:
+        adj_src, adj_dst, adj_weight = to_undirected_edges(
+            adj_src, adj_dst, adj_weight, num_nodes
+        )
+
+    # Encoder-specific adjacency normalization (main.py:177-186).
+    enc = args.encoder.upper()
+    if enc == "GCN":
+        adj_src, adj_dst, adj_weight = gcn_normalize_edges(
+            adj_src, adj_dst, adj_weight, num_nodes
+        )
+    elif enc == "WSAGE":
+        adj_src, adj_dst, adj_weight = row_normalize_edges(
+            adj_src, adj_dst, adj_weight, num_nodes
+        )
+    elif enc == "TRANSFORMER":
+        adj_weight = None  # strip values (main.py:184-186)
+
+    return {
+        "adj_src": np.asarray(adj_src, np.int64),
+        "adj_dst": np.asarray(adj_dst, np.int64),
+        "adj_weight": None
+        if adj_weight is None
+        else np.asarray(adj_weight, np.float32),
+        "split_edge": split_edge,
+    }
+
+
+def get_train_edges(split_edge) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Training positives + optional weights (reference utils.py:8-13)."""
+    tr = split_edge["train"]
+    if "edge" in tr:
+        pos = np.asarray(tr["edge"], np.int64)
+    else:
+        pos = np.stack(
+            [np.asarray(tr["source_node"]), np.asarray(tr["target_node"])], axis=1
+        ).astype(np.int64)
+    w = tr.get("weight")
+    return pos, (None if w is None else np.asarray(w, np.float32).reshape(-1))
+
+
+def get_eval_edges(split_edge, split: str) -> Dict[str, np.ndarray]:
+    """Valid/test pos+neg pairs in both OGB formats (utils.py:33-40)."""
+    se = split_edge[split]
+    if "edge" in split_edge["train"]:
+        return {
+            "pos": np.asarray(se["edge"], np.int64),
+            "neg": np.asarray(se["edge_neg"], np.int64),
+        }
+    source = np.asarray(se["source_node"])
+    target = np.asarray(se["target_node"])
+    target_neg = np.asarray(se["target_node_neg"])
+    k = target_neg.shape[1]
+    neg = np.stack(
+        [np.repeat(source, k), target_neg.reshape(-1)], axis=1
+    ).astype(np.int64)
+    return {"pos": np.stack([source, target], axis=1).astype(np.int64), "neg": neg}
+
+
+# ---------------------------------------------------------------------------
+# Experiment assembly + run protocol (reference main.py:188-305)
+# ---------------------------------------------------------------------------
+
+
+def prepare_experiment(args):
+    """Everything up to (but excluding) the run loop; returns a dict."""
+    ds = load_dataset(args.data_name, args.data_path)
+    num_nodes = ds["num_nodes"]
+    node_feat = ds.get("node_feat")
+    num_node_feats = 0 if node_feat is None else node_feat.shape[1]
+
+    surg = apply_dataset_surgery(ds, args)
+    split_edge = surg["split_edge"]
+
+    use_dense = args.adj_backend == "dense" or (
+        args.adj_backend == "auto" and num_nodes <= args.dense_threshold
+    )
+    if use_dense:
+        graph = prepare_dense(
+            surg["adj_src"], surg["adj_dst"], surg["adj_weight"], num_nodes=num_nodes
+        )
+        graph_t = None
+        # CSR twin for negative-sampler exclusion + random walks.
+        sample_graph, _ = prepare_graph(
+            surg["adj_src"],
+            surg["adj_dst"],
+            surg["adj_weight"],
+            num_nodes=num_nodes,
+            block=None,
+        )
+    else:
+        graph, graph_t = prepare_graph(
+            surg["adj_src"],
+            surg["adj_dst"],
+            surg["adj_weight"],
+            num_nodes=num_nodes,
+            block=(args.block_rows, args.block_edges),
+        )
+        sample_graph = graph
+
+    pretrain_emb = None
+    if args.pretrain_emb:
+        if args.pretrain_emb.endswith(".npy"):
+            pretrain_emb = np.load(args.pretrain_emb)
+        else:
+            import torch
+
+            pretrain_emb = (
+                torch.load(args.pretrain_emb, map_location="cpu").cpu().numpy()
+            )
+
+    cfg = ModelConfig(
+        encoder=args.encoder,
+        predictor=args.predictor,
+        optimizer=args.optimizer,
+        loss_func=args.loss_func,
+        neg_sampler=args.neg_sampler,
+        gnn_num_layers=args.gnn_num_layers,
+        mlp_num_layers=args.mlp_num_layers,
+        emb_hidden_channels=args.emb_hidden_channels,
+        gnn_hidden_channels=args.gnn_hidden_channels,
+        mlp_hidden_channels=args.mlp_hidden_channels,
+        dropout=args.dropout,
+        grad_clip_norm=args.grad_clip_norm,
+        lr=args.lr,
+        num_neg=args.num_neg,
+        batch_size=args.batch_size,
+        use_node_feats=args.use_node_feats,
+        train_node_emb=args.train_node_emb,
+    )
+    model = Model(cfg, num_nodes, num_node_feats, pretrain_emb)
+
+    eval_edges = {
+        "valid": {
+            k: jnp.asarray(v) for k, v in get_eval_edges(split_edge, "valid").items()
+        },
+        "test": {
+            k: jnp.asarray(v) for k, v in get_eval_edges(split_edge, "test").items()
+        },
+    }
+    return {
+        "dataset": ds,
+        "split_edge": split_edge,
+        "graph": graph,
+        "graph_t": graph_t,
+        "sample_graph": sample_graph,
+        "model": model,
+        "eval_edges": eval_edges,
+        "node_feats": None if node_feat is None else jnp.asarray(node_feat),
+        "num_nodes": num_nodes,
+    }
+
+
+def run_experiment(args, log=print):
+    exp = prepare_experiment(args)
+    model: Model = exp["model"]
+    graph, graph_t = exp["graph"], exp["graph_t"]
+    sample_graph = exp["sample_graph"]
+    node_feats = exp["node_feats"]
+    split_edge = exp["split_edge"]
+    eval_metric = (
+        args.eval_metric
+        if args.eval_metric
+        else exp["dataset"].get("eval_metric", "hits")
+    )
+
+    log_file = None
+    if args.res_dir:
+        os.makedirs(args.res_dir, exist_ok=True)
+        log_file = os.path.join(
+            args.res_dir, f"log_{args.data_name}_{int(time.time())}.txt"
+        )
+        with open(log_file, "a") as f:
+            f.write(str(vars(args)) + "\n")
+
+    def emit(msg):
+        log(msg)
+        if log_file:
+            with open(log_file, "a") as f:
+                f.write(str(msg) + "\n")
+
+    if eval_metric == "hits":
+        loggers = {k: Logger(args.runs, args) for k in ("Hits@20", "Hits@50", "Hits@100")}
+    else:
+        loggers = {"MRR": Logger(args.runs, args)}
+
+    pos_edges_np, weights_np = get_train_edges(split_edge)
+    base_pos = jnp.asarray(pos_edges_np)
+    base_weights = None if weights_np is None else jnp.asarray(weights_np)
+
+    # RW augmentation start nodes — fixed before the run loop (main.py:228-233).
+    rw_start = None
+    if args.random_walk_augment:
+        if args.walk_start_type == "edge":
+            rw_start = base_pos.reshape(-1)
+        else:
+            rw_start = jnp.arange(exp["num_nodes"], dtype=jnp.int32)
+
+    key = jax.random.PRNGKey(args.seed)
+    # Reference quirk: optimizer state is created ONCE and carries across
+    # runs (model.py:85-96); --reset_optimizer restores the clean behavior.
+    params = model.init_params(jax.random.PRNGKey(args.seed))
+    opt_state = model.init_opt_state(params)
+
+    for run in range(args.runs):
+        key, k_init = jax.random.split(key)
+        params = model.init_params(k_init)
+        if args.reset_optimizer:
+            opt_state = model.init_opt_state(params)
+        cur_lr = args.lr
+        start_time = time.time()
+        for epoch in range(1, 1 + args.epochs):
+            key, k_epoch = jax.random.split(key)
+            if args.random_walk_augment:
+                key, k_walk = jax.random.split(key)
+                pos, weights, valid = random_walk_pairs(
+                    sample_graph, rw_start, args.walk_length, k_walk
+                )
+                pos_mask = valid
+            else:
+                pos, weights, pos_mask = base_pos, base_weights, None
+            params, opt_state, loss = model.train_epoch(
+                params,
+                opt_state,
+                graph,
+                graph_t,
+                node_feats,
+                pos,
+                weights,
+                k_epoch,
+                cur_lr,
+                sample_graph=sample_graph,
+                pos_mask=pos_mask,
+            )
+            if epoch % args.eval_steps == 0:
+                results = model.test(
+                    params, graph, graph_t, node_feats, exp["eval_edges"], eval_metric
+                )
+                for k, res in results.items():
+                    loggers[k].add_result(run, res)
+                if epoch % args.log_steps == 0:
+                    spent = time.time() - start_time
+                    for k, (vres, tres) in results.items():
+                        emit(k)
+                        emit(
+                            f"Run: {run + 1:02d}, Epoch: {epoch:02d}, "
+                            f"Loss: {loss:.4f}, Learning Rate: {cur_lr:.4f}, "
+                            f"Valid: {100 * vres:.2f}%, Test: {100 * tres:.2f}%"
+                        )
+                    emit("---")
+                    emit(
+                        f"Training Time Per Epoch: {spent / args.eval_steps: .4f} s"
+                    )
+                    emit("---")
+                    start_time = time.time()
+            if args.use_lr_decay:
+                cur_lr = adjust_lr(args.lr, epoch / args.epochs)
+        for k in loggers:
+            emit(k)
+            loggers[k].print_statistics(run, last_best=args.eval_last_best)
+            if log_file:
+                with open(log_file, "a") as f:
+                    loggers[k].print_statistics(
+                        run, f=f, last_best=args.eval_last_best
+                    )
+
+    for k in loggers:
+        emit(k)
+        loggers[k].print_statistics(last_best=args.eval_last_best)
+        if log_file:
+            with open(log_file, "a") as f:
+                loggers[k].print_statistics(f=f, last_best=args.eval_last_best)
+    return loggers
+
+
+def main(argv=None):
+    args = argument(argv)
+    print(args)
+    return run_experiment(args)
+
+
+if __name__ == "__main__":
+    main()

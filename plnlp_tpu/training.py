@@ -1,0 +1,461 @@
+"""Training runtime: model assembly, one jitted train step, epoch/eval drivers.
+
+TPU-first re-design of reference plnlp/model.py (BaseModel + factories).  The
+reference's structure — full-graph encoder forward inside every pair
+mini-batch, pairwise scoring, AUC-family loss, per-group grad clipping
+(model.py:128-173) — is preserved exactly, but expressed as ONE jit-compiled
+pure function ``train_step(params, opt_state, ...)`` with donated state,
+static shapes (padded final batch + loss masks), and an explicit PRNG chain.
+
+Key differences from the reference, all deliberate:
+* optimizer state is a pytree updated functionally (optax-style transforms
+  written against the same math as torch.optim Adam/AdamW/SGD);
+* the learning rate enters the step as a scalar argument, so LR decay
+  (reference adjust_lr, model.py:279-286) never triggers a recompile;
+* evaluation computes the encoder output once and reuses it for valid and
+  test scoring — the reference recomputes identically in eval mode
+  (model.py:190,204), a pure 2× cost artifact with bit-identical results.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from plnlp_tpu.dense import DenseAdj
+from plnlp_tpu.graph import Graph
+from plnlp_tpu.losses import calculate_loss
+from plnlp_tpu.metrics import evaluate_hits, evaluate_mrr
+from plnlp_tpu.models import (
+    apply_encoder,
+    apply_predictor,
+    init_encoder,
+    init_predictor,
+)
+from plnlp_tpu.nn import xavier_uniform
+from plnlp_tpu.sampling import (
+    global_neg_sample,
+    global_perm_neg_sample,
+    local_neg_sample,
+)
+
+__all__ = ["ModelConfig", "Model"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """The model/optimization surface of the reference CLI (main.py:16-55)."""
+
+    encoder: str = "SAGE"
+    predictor: str = "MLP"
+    optimizer: str = "Adam"
+    loss_func: str = "AUC"
+    neg_sampler: str = "global"
+    gnn_num_layers: int = 2
+    mlp_num_layers: int = 2
+    emb_hidden_channels: int = 256
+    gnn_hidden_channels: int = 256
+    mlp_hidden_channels: int = 256
+    dropout: float = 0.0
+    grad_clip_norm: float = 2.0
+    lr: float = 1e-3
+    num_neg: int = 1
+    batch_size: int = 64 * 1024
+    use_node_feats: bool = False
+    train_node_emb: bool = True
+    eval_batch_size: Optional[int] = None  # defaults to batch_size
+
+
+# ---------------------------------------------------------------------------
+# Optimizers (torch.optim-parity transforms; reference model.py:85-90)
+# ---------------------------------------------------------------------------
+
+
+def _make_optimizer(name: str) -> optax.GradientTransformation:
+    """LR-less optimizer core; the step multiplies updates by -lr."""
+    name = name.lower()
+    if name == "adamw":
+        # torch.optim.AdamW defaults: betas (0.9, 0.999), eps 1e-8, wd 0.01
+        return optax.chain(
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.add_decayed_weights(0.01),
+        )
+    if name == "sgd":
+        # torch.optim.SGD(momentum=0.9, weight_decay=1e-5, nesterov=True):
+        # wd folds into the gradient BEFORE the momentum buffer.
+        return optax.chain(
+            optax.add_decayed_weights(1e-5),
+            optax.trace(decay=0.9, nesterov=True),
+        )
+    return optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+
+
+def _clip_subtree(tree, max_norm: float):
+    """torch clip_grad_norm_ on one param group: global-norm scale-down."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    norm = jnp.sqrt(sum(jnp.sum(jnp.square(l)) for l in leaves))
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+    return jax.tree_util.tree_map(lambda l: l * scale, tree)
+
+
+class Model:
+    """Functional counterpart of reference BaseModel (model.py:9-226).
+
+    Holds only static configuration; all state (params, opt_state) flows
+    through the pure jitted functions this class builds.
+    """
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        num_nodes: int,
+        num_node_feats: int = 0,
+        pretrain_emb: Optional[np.ndarray] = None,
+    ):
+        self.cfg = cfg
+        self.num_nodes = num_nodes
+        self.num_node_feats = num_node_feats
+        self.pretrain_emb = pretrain_emb
+
+        # Input layer sizing — reference create_input_layer (model.py:229-249).
+        self.use_emb = False
+        emb_dim = 0
+        if cfg.use_node_feats:
+            input_dim = num_node_feats
+            if cfg.train_node_emb:
+                self.use_emb = True
+                emb_dim = cfg.emb_hidden_channels
+                input_dim += emb_dim
+            elif pretrain_emb is not None:
+                self.use_emb = True
+                emb_dim = pretrain_emb.shape[1]
+                input_dim += emb_dim
+        else:
+            self.use_emb = True
+            if pretrain_emb is not None:
+                emb_dim = pretrain_emb.shape[1]
+            else:
+                emb_dim = cfg.emb_hidden_channels
+            input_dim = emb_dim
+        self.emb_dim = emb_dim
+        self.input_dim = input_dim
+        self.emb_trainable = self.use_emb and (
+            pretrain_emb is None or cfg.train_node_emb
+        )
+
+        self._opt = _make_optimizer(cfg.optimizer)
+        self._train_step = jax.jit(
+            self._train_step_impl,
+            donate_argnums=(0, 1),
+            static_argnums=(11,),  # use_margin
+        )
+        self._encode = jax.jit(self._encode_impl)
+        self._predict_chunk = jax.jit(self._predict_chunk_impl)
+
+    # -- parameters ---------------------------------------------------------
+
+    def init_params(self, key: jax.Array) -> Dict[str, Any]:
+        """Fresh parameters — reference param_init (model.py:92-96):
+        xavier-uniform embedding, torch-default resets elsewhere."""
+        k_emb, k_enc, k_pred = jax.random.split(key, 3)
+        params: Dict[str, Any] = {
+            "encoder": init_encoder(
+                k_enc,
+                self.cfg.encoder,
+                self.input_dim,
+                self.cfg.gnn_hidden_channels,
+                self.cfg.gnn_num_layers,
+            ),
+            "predictor": init_predictor(
+                k_pred,
+                self.cfg.predictor,
+                self.cfg.mlp_hidden_channels,
+                self.cfg.mlp_num_layers,
+            ),
+        }
+        if self.use_emb:
+            if self.pretrain_emb is not None:
+                params["emb"] = jnp.asarray(self.pretrain_emb, jnp.float32)
+            else:
+                params["emb"] = xavier_uniform(
+                    k_emb, (self.num_nodes, self.emb_dim)
+                )
+        return params
+
+    def init_opt_state(self, params):
+        return self._opt.init(params)
+
+    def _input_feat(self, params, node_feats):
+        """emb ⊕ raw features — reference create_input_feat (model.py:98-105)."""
+        if self.cfg.use_node_feats:
+            assert node_feats is not None
+            if self.use_emb:
+                return jnp.concatenate([params["emb"], node_feats], axis=-1)
+            return node_feats
+        return params["emb"]
+
+    # -- training -----------------------------------------------------------
+
+    def _loss_impl(
+        self, params, graph, graph_t, node_feats, pos, neg, margin, mask, key
+    ):
+        """Forward + loss for one pair batch (reference model.py:147-160)."""
+        cfg = self.cfg
+        k_enc, k_pos, k_neg = jax.random.split(key, 3)
+        x = self._input_feat(params, node_feats)
+        h = apply_encoder(
+            params["encoder"],
+            cfg.encoder,
+            graph,
+            x,
+            graph_t=graph_t,
+            dropout=cfg.dropout,
+            train=True,
+            rng=k_enc,
+        )
+        neg_flat = neg.reshape(-1, 2)
+        pos_out = apply_predictor(
+            params["predictor"], cfg.predictor, h[pos[:, 0]], h[pos[:, 1]],
+            dropout=cfg.dropout, train=True, rng=k_pos,
+        )
+        neg_out = apply_predictor(
+            params["predictor"], cfg.predictor, h[neg_flat[:, 0]], h[neg_flat[:, 1]],
+            dropout=cfg.dropout, train=True, rng=k_neg,
+        )
+        return calculate_loss(
+            cfg.loss_func, pos_out, neg_out, cfg.num_neg,
+            margin=margin, mask=mask,
+        )
+
+    def _train_step_impl(
+        self,
+        params,
+        opt_state,
+        graph,
+        graph_t,
+        node_feats,
+        pos,
+        neg,
+        margin,
+        mask,
+        lr,
+        key,
+        use_margin: bool,
+    ):
+        loss, grads = jax.value_and_grad(self._loss_impl)(
+            params,
+            graph,
+            graph_t,
+            node_feats,
+            pos,
+            neg,
+            margin if use_margin else None,
+            mask,
+            key,
+        )
+        if self.cfg.grad_clip_norm >= 0:
+            # Reference clips encoder and predictor groups separately and
+            # does NOT clip the embedding (model.py:163-165).
+            grads = dict(grads)
+            grads["encoder"] = _clip_subtree(
+                grads["encoder"], self.cfg.grad_clip_norm
+            )
+            grads["predictor"] = _clip_subtree(
+                grads["predictor"], self.cfg.grad_clip_norm
+            )
+        if self.use_emb and not self.emb_trainable:
+            grads = dict(grads)
+            grads["emb"] = jnp.zeros_like(grads["emb"])
+        updates, opt_state = self._opt.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def sample_negatives(
+        self, key, graph: Graph, pos_edges: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Dispatch by sampler name — reference utils.py:16-32 (default:
+        anything ∉ {local, global} falls through to global-perm)."""
+        cfg = self.cfg
+        p = pos_edges.shape[0]
+        if cfg.neg_sampler == "local":
+            return local_neg_sample(key, pos_edges, self.num_nodes, cfg.num_neg)
+        if cfg.neg_sampler == "global":
+            return global_neg_sample(key, graph, p, cfg.num_neg)
+        return global_perm_neg_sample(key, graph, p, cfg.num_neg)
+
+    def train_epoch(
+        self,
+        params,
+        opt_state,
+        graph,
+        graph_t,
+        node_feats,
+        pos_edges: jnp.ndarray,
+        weights: Optional[jnp.ndarray],
+        key: jax.Array,
+        lr: float,
+        sample_graph: Optional[Graph] = None,
+        num_pos: Optional[int] = None,
+        pos_mask: Optional[jnp.ndarray] = None,
+    ):
+        """One epoch — reference BaseModel.train (model.py:128-173).
+
+        ``pos_edges`` may be capacity-padded; ``num_pos`` is the real count
+        (padded tail is masked out of every loss).  ``pos_mask`` additionally
+        invalidates arbitrary entries (static-shape random-walk augmentation
+        marks self-pairs invalid instead of compacting — same loss content as
+        the reference's dynamic removal at main.py:250-252).
+        ``sample_graph`` is the edge set used for negative-sampling exclusion
+        (the reference passes data.edge_index there, main.py:133).
+        """
+        cfg = self.cfg
+        p_cap = pos_edges.shape[0]
+        p_real = num_pos if num_pos is not None else p_cap
+        use_margin = weights is not None
+        k_neg, k_perm, k_steps = jax.random.split(key, 3)
+
+        sg = sample_graph if sample_graph is not None else graph
+        neg_edges = self.sample_negatives(k_neg, sg, pos_edges)
+
+        # Shuffle real positives; padded tail stays at the end, masked.
+        perm = jax.random.permutation(k_perm, p_real)
+        if p_cap > p_real:
+            perm = jnp.concatenate(
+                [perm, jnp.arange(p_real, p_cap, dtype=perm.dtype)]
+            )
+        pos_edges = pos_edges[perm]
+        neg_edges = neg_edges[perm]
+        valid = (jnp.arange(p_cap) < p_real).astype(jnp.float32)
+        if pos_mask is not None:
+            valid = valid * pos_mask[perm].astype(jnp.float32)
+        if use_margin:
+            weights = weights[perm]
+        else:
+            weights = jnp.zeros((p_cap,), jnp.float32)
+
+        b = min(cfg.batch_size, p_cap)
+        num_batches = max(1, math.ceil(p_real / b))
+        step_keys = jax.random.split(k_steps, num_batches)
+        lr_arr = jnp.asarray(lr, jnp.float32)
+        losses = []
+        counts = []
+        for i in range(num_batches):
+            lo = i * b
+            hi = min(lo + b, p_cap)
+            fresh_lo = lo
+            if hi - lo < b:
+                # Static-shape final batch: take the LAST b entries; entries
+                # overlapping the previous batch are masked out of the loss.
+                lo = p_cap - b
+            mask = jax.lax.dynamic_slice_in_dim(valid, lo, b)
+            if fresh_lo > lo:
+                mask = mask * (jnp.arange(b) + lo >= fresh_lo)
+            pos_b = jax.lax.dynamic_slice_in_dim(pos_edges, lo, b)
+            neg_b = jax.lax.dynamic_slice_in_dim(neg_edges, lo, b)
+            w_b = jax.lax.dynamic_slice_in_dim(weights, lo, b)
+            params, opt_state, loss = self._train_step(
+                params,
+                opt_state,
+                graph,
+                graph_t,
+                node_feats,
+                pos_b,
+                neg_b,
+                w_b,
+                mask,
+                lr_arr,
+                step_keys[i],
+                use_margin,
+            )
+            # Keep loss/count on device until the end — no per-step sync.
+            losses.append(loss)
+            counts.append(jnp.sum(mask))
+        losses, counts = jax.device_get((losses, counts))
+        total = float(sum(l * c for l, c in zip(losses, counts)))
+        return params, opt_state, total / max(float(sum(counts)), 1.0)
+
+    # -- evaluation ---------------------------------------------------------
+
+    def _encode_impl(self, params, graph, graph_t, node_feats):
+        x = self._input_feat(params, node_feats)
+        h = apply_encoder(
+            params["encoder"], self.cfg.encoder, graph, x,
+            graph_t=graph_t, train=False,
+        )
+        # Unseen-node convention: index -1 (mapped to row N) resolves to the
+        # mean representation (reference model.py:191-194).
+        mean_h = jnp.mean(h, axis=0, keepdims=True)
+        return jnp.concatenate([h, mean_h], axis=0)
+
+    def _predict_chunk_impl(self, params, h, edges):
+        n = self.num_nodes
+        e0 = jnp.where(edges[:, 0] < 0, n, edges[:, 0])
+        e1 = jnp.where(edges[:, 1] < 0, n, edges[:, 1])
+        out = apply_predictor(
+            params["predictor"], self.cfg.predictor, h[e0], h[e1], train=False
+        )
+        return out.reshape(-1)
+
+    def batch_predict(self, params, h, edges: jnp.ndarray) -> np.ndarray:
+        """Chunked pair scoring — reference batch_predict (model.py:175-182)."""
+        bs = self.cfg.eval_batch_size or self.cfg.batch_size
+        m = edges.shape[0]
+        outs = []
+        for lo in range(0, m, bs):
+            hi = min(lo + bs, m)
+            chunk = edges[lo:hi]
+            if hi - lo < bs:  # pad to static shape, slice result
+                pad = bs - (hi - lo)
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((pad, 2), chunk.dtype)]
+                )
+                outs.append(np.asarray(self._predict_chunk(params, h, chunk))[: hi - lo])
+            else:
+                outs.append(np.asarray(self._predict_chunk(params, h, chunk)))
+        return np.concatenate(outs) if outs else np.zeros((0,), np.float32)
+
+    def test(
+        self,
+        params,
+        graph,
+        graph_t,
+        node_feats,
+        split_edges: Dict[str, Dict[str, jnp.ndarray]],
+        eval_metric: str = "hits",
+    ):
+        """Reference BaseModel.test (model.py:184-226): encode full graph,
+        score valid/test pos+neg pairs, Hits@K or MRR."""
+        h = self._encode(params, graph, graph_t, node_feats)
+        preds = {}
+        for split in ("valid", "test"):
+            preds[split] = {
+                "pos": self.batch_predict(params, h, split_edges[split]["pos"]),
+                "neg": self.batch_predict(params, h, split_edges[split]["neg"]),
+            }
+        if eval_metric == "mrr":
+            npos_v = preds["valid"]["pos"].shape[0]
+            npos_t = preds["test"]["pos"].shape[0]
+            return evaluate_mrr(
+                preds["valid"]["pos"],
+                preds["valid"]["neg"].reshape(npos_v, -1),
+                preds["test"]["pos"],
+                preds["test"]["neg"].reshape(npos_t, -1),
+            )
+        return evaluate_hits(
+            preds["valid"]["pos"],
+            preds["valid"]["neg"],
+            preds["test"]["pos"],
+            preds["test"]["neg"],
+        )
+
+
+def adjust_lr(base_lr: float, decay_ratio: float) -> float:
+    """Linear LR decay floored at lr·1e-4 (reference model.py:279-286)."""
+    return max(base_lr * (1 - decay_ratio), base_lr * 1e-4)

