@@ -20,6 +20,10 @@ BASELINE_EDGES_PER_SEC = 239e6  # round-1 first measurement, dense path, f32
 
 def main():
     import jax
+
+    # rbg PRNG: the threefry default costs ~13 ms/step in dropout-mask
+    # generation alone at this scale on TPU.
+    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
     import numpy as np
 

@@ -103,6 +103,21 @@ def argument(argv=None):
     parser.add_argument("--block_rows", type=int, default=128)
     parser.add_argument("--block_edges", type=int, default=512)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--compute_dtype",
+        type=str,
+        default="float32",
+        choices=["float32", "bfloat16"],
+        help="encoder/predictor matmul dtype (master weights stay f32)",
+    )
+    parser.add_argument(
+        "--prng_impl",
+        type=str,
+        default="rbg",
+        choices=["rbg", "threefry2x32"],
+        help="JAX PRNG implementation; rbg is ~10x faster for the big "
+        "dropout masks on TPU (threefry costs ~13ms/step at ddi scale)",
+    )
     parser.add_argument("--reset_optimizer", type=str2bool, default=False,
                         help="re-init optimizer state per run (the reference "
                         "carries Adam moments across runs, model.py:85-96)")
@@ -310,6 +325,7 @@ def prepare_experiment(args):
         batch_size=args.batch_size,
         use_node_feats=args.use_node_feats,
         train_node_emb=args.train_node_emb,
+        compute_dtype=getattr(args, "compute_dtype", "float32"),
     )
     model = Model(cfg, num_nodes, num_node_feats, pretrain_emb)
 
@@ -458,6 +474,8 @@ def run_experiment(args, log=print):
 
 def main(argv=None):
     args = argument(argv)
+    if getattr(args, "prng_impl", None):
+        jax.config.update("jax_default_prng_impl", args.prng_impl)
     print(args)
     return run_experiment(args)
 

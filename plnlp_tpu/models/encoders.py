@@ -106,7 +106,9 @@ def _sage_conv(lp, graph, graph_t, x):
 
 def _gcn_conv(lp, graph, graph_t, x):
     # GCNConv order: out = Â (x W) + b (bias added AFTER aggregation).
-    hw = jnp.dot(x, lp["lin"]["w"], preferred_element_type=x.dtype)
+    hw = jnp.dot(
+        x, lp["lin"]["w"].astype(x.dtype), preferred_element_type=x.dtype
+    )
     out = spmm(graph, hw, reduce="sum", graph_t=graph_t)
     return out + lp["lin"]["b"].astype(x.dtype)
 
@@ -124,16 +126,20 @@ def _transformer_conv(lp, graph, graph_t, x):
     k = linear(lp["lin_key"], x)
     v = linear(lp["lin_value"], x)
     if isinstance(graph, DenseAdj):
-        # Dense masked attention over the adjacency — all MXU.
-        logits = jnp.dot(q, k.T, preferred_element_type=x.dtype) / math.sqrt(d)
+        # Dense masked attention over the adjacency — all MXU; softmax in f32.
+        logits = (
+            jnp.dot(q, k.T, preferred_element_type=jnp.float32) / math.sqrt(d)
+        )
         mask = graph.adj != 0
         logits = jnp.where(mask, logits, -jnp.inf)
         logits = logits - jnp.max(
-            jnp.where(mask, logits, -jnp.finfo(x.dtype).max), axis=1, keepdims=True
+            jnp.where(mask, logits, jnp.finfo(jnp.float32).min),
+            axis=1,
+            keepdims=True,
         )
         ex = jnp.where(mask, jnp.exp(logits), 0.0)
         denom = jnp.maximum(
-            jnp.sum(ex, axis=1, keepdims=True), jnp.finfo(x.dtype).tiny
+            jnp.sum(ex, axis=1, keepdims=True), jnp.finfo(jnp.float32).tiny
         )
         agg = jnp.dot(
             (ex / denom).astype(x.dtype), v, preferred_element_type=x.dtype

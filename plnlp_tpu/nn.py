@@ -68,7 +68,10 @@ def xavier_uniform(key, shape):
 
 
 def linear(params, x: jnp.ndarray) -> jnp.ndarray:
-    out = jnp.dot(x, params["w"], preferred_element_type=x.dtype)
+    """Dense layer in the activation dtype: params are stored f32 (master
+    weights) and cast to x.dtype, so bf16 activations run bf16 MXU matmuls."""
+    w = params["w"].astype(x.dtype)
+    out = jnp.dot(x, w, preferred_element_type=x.dtype)
     if "b" in params:
         out = out + params["b"].astype(x.dtype)
     return out

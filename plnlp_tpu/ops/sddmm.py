@@ -34,6 +34,8 @@ def edge_softmax(graph: Graph, logits: jnp.ndarray) -> jnp.ndarray:
     Stable (max-subtracted); padding edges (weight==0) are excluded and get 0.
     """
     n = graph.num_nodes
+    out_dtype = logits.dtype
+    logits = logits.astype(jnp.float32)  # softmax numerics always f32
     valid = graph.edge_weight != 0
     neg_inf = jnp.asarray(-jnp.inf, logits.dtype)
     masked = jnp.where(valid, logits, neg_inf)
@@ -47,4 +49,4 @@ def edge_softmax(graph: Graph, logits: jnp.ndarray) -> jnp.ndarray:
         ex, graph.receivers, num_segments=n, indices_are_sorted=True
     )
     denom = jnp.maximum(seg_sum, jnp.finfo(logits.dtype).tiny)
-    return ex / denom[graph.receivers]
+    return (ex / denom[graph.receivers]).astype(out_dtype)

