@@ -325,19 +325,13 @@ def _blocks_np(csr, block_rows: int, block_edges: int):
 
     n_rowblocks = _pad_to(n, R) // R
     # Per-rowblock edge counts and sub-block counts, fully vectorized.
+    # Every rowblock gets ≥1 sub-block (empty ones get an all-padding block)
+    # so the Pallas scatter-matmul kernel visits — and zero-fills — every
+    # output row-block.
     bounds = indptr[np.minimum(np.arange(n_rowblocks + 1) * R, n)]
     cnts = np.diff(bounds)
-    nbs = (cnts + B - 1) // B
+    nbs = np.maximum((cnts + B - 1) // B, 1)
     nblk = int(nbs.sum())
-    if nblk == 0:
-        return {
-            "blk_src": np.zeros((1, B), np.int32),
-            "blk_weight": np.zeros((1, B), np.float32),
-            "blk_local": np.zeros((1, B), np.int32),
-            "blk_rowblock": np.zeros((1,), np.int32),
-            "block_rows": R,
-            "block_edges": B,
-        }
     # Destination slot of each real edge: its rowblock's first sub-block slot
     # plus its offset within the rowblock.
     blk_starts = np.concatenate([[0], np.cumsum(nbs)])  # per rowblock

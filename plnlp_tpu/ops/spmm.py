@@ -128,8 +128,10 @@ def _blocked_sum(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
         gathered[b] = w[b][:, None] * x[src[b]]            (B, D) gather
         onehot[b]   = 1[local[b] == 0..R-1]                (B, R)
         out[k]     += onehotᵀ @ gathered                    (R, D) on the MXU
-    Large graphs are processed in fixed-size chunks of sub-blocks (fori_loop
-    + scatter-add) so HBM intermediates stay bounded.
+
+    On TPU the onehot-matmul + rowblock accumulation runs as a fused Pallas
+    kernel (ops.pallas_spmm) — no HBM intermediates beyond the gather.
+    Elsewhere (and for giant graphs) a chunked XLA path bounds intermediates.
     """
     if graph.blk_src is None:
         raise ValueError("graph has no blocking metadata; call with_blocks()")
@@ -141,6 +143,25 @@ def _blocked_sum(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
     nblk = graph.blk_src.shape[0]
     itemsize = jnp.dtype(x.dtype).itemsize
     chunk = max(1, _CHUNK_BYTES // (B * d * itemsize))
+
+    from plnlp_tpu.ops.pallas_spmm import pallas_available, scatter_matmul
+
+    # Pallas path whenever the gathered features fit comfortably in HBM.
+    feats_bytes = nblk * B * d * itemsize
+    if pallas_available() and feats_bytes <= 4 * 1024**3:
+        # NB: gather with FLAT indices — XLA lowers 2-D-indexed row gathers
+        # ~4-10x slower than flat ones (measured on v5e).  Edge weights are
+        # applied inside the kernel, so the gather output feeds it raw.
+        feats = x[graph.blk_src.reshape(-1)].reshape(nblk, B, d)
+        out = scatter_matmul(
+            feats,
+            graph.blk_local,
+            graph.blk_weight,
+            graph.blk_rowblock,
+            R,
+            n_rowblocks,
+        )
+        return out[:n]
 
     if nblk <= chunk:
         blk_out = _chunk_part(
