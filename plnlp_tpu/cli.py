@@ -111,6 +111,15 @@ def argument(argv=None):
         help="encoder/predictor matmul dtype (master weights stay f32)",
     )
     parser.add_argument(
+        "--checkpoint_dir", type=str, default="",
+        help="save params/opt-state/progress here (orbax); empty = off",
+    )
+    parser.add_argument("--checkpoint_every", type=int, default=50,
+                        help="epochs between checkpoints")
+    parser.add_argument("--resume", type=str2bool, default=False,
+                        help="resume from the latest checkpoint in "
+                        "--checkpoint_dir")
+    parser.add_argument(
         "--prng_impl",
         type=str,
         default="rbg",
@@ -401,14 +410,38 @@ def run_experiment(args, log=print):
     params = model.init_params(jax.random.PRNGKey(args.seed))
     opt_state = model.init_opt_state(params)
 
-    for run in range(args.runs):
-        key, k_init = jax.random.split(key)
-        params = model.init_params(k_init)
-        if args.reset_optimizer:
-            opt_state = model.init_opt_state(params)
-        cur_lr = args.lr
+    ckpt_mgr = None
+    start_run, start_epoch = 0, 1
+    if getattr(args, "checkpoint_dir", ""):
+        from plnlp_tpu.checkpoint import CheckpointManager
+
+        ckpt_mgr = CheckpointManager(args.checkpoint_dir)
+        if getattr(args, "resume", False) and ckpt_mgr.latest_step() is not None:
+            params, opt_state, extra = ckpt_mgr.restore(
+                template={"params": params, "opt_state": opt_state}
+            )
+            if extra:
+                start_run = int(extra.get("run", 0))
+                start_epoch = int(extra.get("epoch", 0)) + 1
+                for lk, res in extra.get("results", {}).items():
+                    if lk in loggers:
+                        loggers[lk].results = [list(map(tuple, r)) for r in res]
+                emit(f"Resumed from run {start_run + 1}, epoch {start_epoch}")
+
+    for run in range(start_run, args.runs):
+        if run != start_run or start_epoch == 1:
+            key, k_init = jax.random.split(key)
+            params = model.init_params(k_init)
+            if args.reset_optimizer:
+                opt_state = model.init_opt_state(params)
+        first_epoch = start_epoch if run == start_run else 1
+        cur_lr = (
+            adjust_lr(args.lr, (first_epoch - 1) / args.epochs)
+            if args.use_lr_decay and first_epoch > 1
+            else args.lr
+        )
         start_time = time.time()
-        for epoch in range(1, 1 + args.epochs):
+        for epoch in range(first_epoch, 1 + args.epochs):
             key, k_epoch = jax.random.split(key)
             if args.random_walk_augment:
                 key, k_walk = jax.random.split(key)
@@ -454,6 +487,20 @@ def run_experiment(args, log=print):
                     start_time = time.time()
             if args.use_lr_decay:
                 cur_lr = adjust_lr(args.lr, epoch / args.epochs)
+            if ckpt_mgr is not None and epoch % args.checkpoint_every == 0:
+                ckpt_mgr.save(
+                    run * args.epochs + epoch,
+                    params,
+                    opt_state,
+                    {
+                        "run": run,
+                        "epoch": epoch,
+                        "results": {
+                            k: [list(map(list, r)) for r in lg.results]
+                            for k, lg in loggers.items()
+                        },
+                    },
+                )
         for k in loggers:
             emit(k)
             loggers[k].print_statistics(run, last_best=args.eval_last_best)

@@ -44,13 +44,21 @@ class DenseAdj:
 def _dense_np(csr) -> Tuple[np.ndarray, np.ndarray]:
     n = csr["num_nodes"]
     e = csr["num_edges"]
-    a = np.zeros((n, n), np.float32)
     recv = csr["receivers"][:e]
     send = csr["senders"][:e]
+    from plnlp_tpu import native
+
+    if native.available():
+        # np.add.at costs ~40s at 2M edges / 18M cells; the C++ loop ~50ms.
+        return native.densify(
+            send.astype(np.int64), recv.astype(np.int64),
+            csr["edge_weight"][:e], n,
+        )
+    a = np.zeros((n, n), np.float32)
     np.add.at(a, (recv, send), csr["edge_weight"][:e])
     deg = np.zeros(n, np.int32)
     np.add.at(deg, recv, 1)
-    return a, deg
+    return a, deg.astype(np.int32)
 
 
 def to_dense(graph: Graph) -> DenseAdj:

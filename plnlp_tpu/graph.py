@@ -133,10 +133,18 @@ def coalesce_edges(
     """Sort edges by (dst, src) and merge duplicates (reduce: add|max|min|mean).
 
     Equivalent role to torch_sparse.coalesce (reference main.py:141) but runs
-    once on the host; uses float64-safe int64 keys.
+    once on the host; uses float64-safe int64 keys.  The common reduce='add'
+    case goes through the native graphcore library when available (~10x the
+    NumPy sort/unique pipeline); other reduces use NumPy.
     """
     src = _as_np(src).astype(np.int64)
     dst = _as_np(dst).astype(np.int64)
+    if reduce == "add":
+        from plnlp_tpu import native
+
+        if native.available():
+            ns, nd, nw = native.coalesce_add(src, dst, weight, num_nodes)
+            return ns, nd, (None if weight is None else nw)
     key = dst * int(num_nodes) + src
     order = np.argsort(key, kind="stable")
     key = key[order]

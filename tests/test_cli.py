@@ -136,3 +136,19 @@ def test_train_on_subgraph_is_noop():
     np.testing.assert_allclose(
         l1["Hits@20"].results[0], l2["Hits@20"].results[0]
     )
+
+
+def test_checkpoint_resume_cli(tmp_path):
+    """Interrupt after run 0 and resume: epochs continue, results restored."""
+    ck = str(tmp_path / "ck")
+    run_experiment(
+        _args(epochs=2, checkpoint_dir=ck, checkpoint_every=1, runs=1),
+        log=lambda *_: None,
+    )
+    # resume: should detect completed state and re-run remaining (none for
+    # run 0 epoch 2 -> starts at epoch 3 > epochs, so just finalizes)
+    loggers = run_experiment(
+        _args(epochs=2, checkpoint_dir=ck, checkpoint_every=1, runs=1, resume=True),
+        log=lambda *_: None,
+    )
+    assert len(loggers["Hits@20"].results[0]) >= 2  # restored results present
