@@ -121,6 +121,41 @@ def _chunk_part(x, blk_src, blk_weight, blk_local, R):
     ).astype(x.dtype)
 
 
+def blocked_sum_arrays(
+    x: jnp.ndarray,
+    blk_src: jnp.ndarray,  # (nblk, B) int32
+    blk_weight: jnp.ndarray,  # (nblk, B) f32 (0 = padding)
+    blk_local: jnp.ndarray,  # (nblk, B) int32
+    blk_rowblock: jnp.ndarray,  # (nblk,) int32 sorted
+    block_rows: int,
+    out_rows: int,
+) -> jnp.ndarray:
+    """Array-level blocked weighted-sum aggregation -> (out_rows, D).
+
+    Shared by the Graph path (_blocked_sum) and the shard_map-partitioned
+    SpMM (parallel.sharded), which operates on raw per-shard metadata.
+    Dispatches to the Pallas scatter-matmul on TPU, XLA one-hot einsum
+    elsewhere.
+    """
+    from plnlp_tpu.ops.pallas_spmm import pallas_available, scatter_matmul
+
+    R = block_rows
+    nblk, B = blk_src.shape
+    d = x.shape[-1]
+    n_rowblocks = (out_rows + R - 1) // R
+    if pallas_available():
+        feats = x[blk_src.reshape(-1)].reshape(nblk, B, d)
+        out = scatter_matmul(
+            feats, blk_local, blk_weight, blk_rowblock, R, n_rowblocks
+        )
+        return out[:out_rows]
+    blk_out = _chunk_part(x, blk_src, blk_weight, blk_local, R)
+    out = jax.ops.segment_sum(
+        blk_out, blk_rowblock, num_segments=n_rowblocks, indices_are_sorted=True
+    )
+    return out.reshape(n_rowblocks * R, d)[:out_rows]
+
+
 def _blocked_sum(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
     """Weighted-sum aggregation via batched one-hot matmuls.
 
@@ -268,6 +303,10 @@ def spmm(
 
     if isinstance(graph, DenseAdj):
         return spmm_dense(graph.adj, x, reduce, graph.in_degrees)
+    from plnlp_tpu.parallel.graph_parallel import GraphParallel, partitioned_spmm
+
+    if isinstance(graph, GraphParallel):
+        return partitioned_spmm(graph, x, reduce)
     if graph.blk_src is not None and graph_t is not None:
         return spmm_blocked(graph, graph_t, x, reduce)
     return spmm_segment(graph, x, reduce)

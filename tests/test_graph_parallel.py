@@ -1,0 +1,132 @@
+"""Partitioned shard_map SpMM == single-device SpMM on the 8-CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plnlp_tpu.graph import build_graph
+from plnlp_tpu.ops.spmm import spmm_segment
+from plnlp_tpu.parallel.graph_parallel import (
+    GraphParallel,
+    partitioned_spmm,
+    shard_node_features,
+)
+from plnlp_tpu.parallel.mesh import make_mesh
+from plnlp_tpu.parallel.partition import partition_graph
+from tests.conftest import random_graph_np
+
+
+@pytest.fixture
+def setup(rng):
+    n, d = 100, 16
+    src, dst, w = random_graph_np(rng, n, 600, weighted=True)
+    g = build_graph(src, dst, w, num_nodes=n)
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    return n, d, src, dst, w, g, x
+
+
+@pytest.mark.parametrize("shards", [2, 8])
+@pytest.mark.parametrize("reduce", ["sum", "mean"])
+def test_partitioned_spmm_matches_single(setup, shards, reduce):
+    n, d, src, dst, w, g, x = setup
+    pg = partition_graph(
+        src, dst, w, num_nodes=n, num_shards=shards, block=(8, 128)
+    )
+    mesh = make_mesh(data=1, node=shards)
+    gp = GraphParallel(pg=pg, mesh=mesh)
+    xs = shard_node_features(x, pg, mesh)
+    out = partitioned_spmm(gp, xs, reduce)[:n]
+    expect = spmm_segment(g, x, reduce)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expect), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("reduce", ["sum", "mean"])
+def test_partitioned_spmm_gradient(setup, reduce):
+    n, d, src, dst, w, g, x = setup
+    shards = 4
+    pg = partition_graph(
+        src, dst, w, num_nodes=n, num_shards=shards, block=(8, 128)
+    )
+    mesh = make_mesh(data=1, node=shards)
+    gp = GraphParallel(pg=pg, mesh=mesh)
+    xs = shard_node_features(x, pg, mesh)
+    cot = jnp.asarray(
+        np.random.default_rng(3).standard_normal((n, d)),
+        jnp.float32,
+    )
+
+    gx = jax.grad(lambda x: jnp.vdot(partitioned_spmm(gp, x, reduce), cot))(xs)
+    gx_ref = jax.grad(
+        lambda x: jnp.vdot(spmm_segment(g, x, reduce), cot)
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(gx)[:n], np.asarray(gx_ref), rtol=1e-4, atol=1e-5
+    )
+    # padded rows receive zero gradient
+    np.testing.assert_allclose(np.asarray(gx)[n:], 0.0, atol=1e-6)
+
+
+def test_partitioned_spmm_jits(setup):
+    n, d, src, dst, w, g, x = setup
+    pg = partition_graph(src, dst, w, num_nodes=n, num_shards=8, block=(8, 128))
+    mesh = make_mesh(data=1, node=8)
+    gp = GraphParallel(pg=pg, mesh=mesh)
+    xs = shard_node_features(x, pg, mesh)
+    f = jax.jit(lambda x: jnp.sum(partitioned_spmm(gp, x, "sum") ** 2))
+    v1 = float(f(xs))
+    v2 = float(jnp.sum(spmm_segment(g, x, "sum") ** 2))
+    np.testing.assert_allclose(v1, v2, rtol=1e-4)
+
+
+def test_full_train_step_with_graph_parallel(setup, rng):
+    """The whole Model train step over a GraphParallel operand matches the
+    single-device Graph path (8-shard mesh, SAGE+MLP+AUC+Adam)."""
+    from plnlp_tpu.training import Model, ModelConfig
+
+    n, d, src, dst, w, g, x = setup
+    cfg = ModelConfig(
+        emb_hidden_channels=d,
+        gnn_hidden_channels=d,
+        mlp_hidden_channels=d,
+        batch_size=64,
+        dropout=0.0,
+    )
+    model = Model(cfg, num_nodes=n)
+    params = model.init_params(jax.random.PRNGKey(0))
+    pos = jnp.asarray(np.stack([src[:64], dst[:64]], 1).astype(np.int32))
+    neg = jnp.asarray(
+        np.random.default_rng(1).integers(0, n, (64, 1, 2)).astype(np.int32)
+    )
+    margin = jnp.zeros((64,), jnp.float32)
+    mask = jnp.ones((64,), jnp.float32)
+    lr = jnp.asarray(1e-2, jnp.float32)
+    copy = lambda t: jax.tree_util.tree_map(lambda a: a.copy(), t)
+
+    p1, _, l1 = model._train_step(
+        copy(params), model.init_opt_state(params), g, None, None,
+        pos, neg, margin, mask, lr, jax.random.PRNGKey(2), False,
+    )
+
+    mesh = make_mesh(data=1, node=8)
+    from plnlp_tpu.parallel.graph_parallel import make_graph_parallel
+
+    e = g.num_edges
+    gp = make_graph_parallel(
+        np.asarray(g.senders)[:e], np.asarray(g.receivers)[:e],
+        np.asarray(g.edge_weight)[:e], num_nodes=n, mesh=mesh, block=(8, 128),
+        # edges already coalesced in g
+    )
+    p2, _, l2 = model._train_step(
+        copy(params), model.init_opt_state(params), gp, None, None,
+        pos, neg, margin, mask, lr, jax.random.PRNGKey(2), False,
+    )
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
