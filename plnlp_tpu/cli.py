@@ -111,6 +111,14 @@ def argument(argv=None):
         help="encoder/predictor matmul dtype (master weights stay f32)",
     )
     parser.add_argument(
+        "--profile_dir", type=str, default="",
+        help="capture a jax.profiler trace of the first profiled epoch here",
+    )
+    parser.add_argument(
+        "--metrics_file", type=str, default="",
+        help="append per-epoch JSON-lines metrics (loss, edges/s, results)",
+    )
+    parser.add_argument(
         "--checkpoint_dir", type=str, default="",
         help="save params/opt-state/progress here (orbax); empty = off",
     )
@@ -410,6 +418,18 @@ def run_experiment(args, log=print):
     params = model.init_params(jax.random.PRNGKey(args.seed))
     opt_state = model.init_opt_state(params)
 
+    from plnlp_tpu.profiling import MetricsWriter, ThroughputMeter, profile_trace
+
+    num_graph_edges = (
+        exp["sample_graph"].num_edges
+        if exp["sample_graph"] is not None
+        else 0
+    )
+    meter = ThroughputMeter(
+        num_graph_edges, args.gnn_num_layers, args.batch_size
+    )
+    metrics = MetricsWriter(getattr(args, "metrics_file", "") or None)
+
     ckpt_mgr = None
     start_run, start_epoch = 0, 1
     if getattr(args, "checkpoint_dir", ""):
@@ -451,18 +471,34 @@ def run_experiment(args, log=print):
                 pos_mask = valid
             else:
                 pos, weights, pos_mask = base_pos, base_weights, None
-            params, opt_state, loss = model.train_epoch(
-                params,
-                opt_state,
-                graph,
-                graph_t,
-                node_feats,
-                pos,
-                weights,
-                k_epoch,
-                cur_lr,
-                sample_graph=sample_graph,
-                pos_mask=pos_mask,
+            meter.start()
+            with profile_trace(
+                args.profile_dir
+                if getattr(args, "profile_dir", "") and run == 0 and epoch == 2
+                else None
+            ):
+                params, opt_state, loss = model.train_epoch(
+                    params,
+                    opt_state,
+                    graph,
+                    graph_t,
+                    node_feats,
+                    pos,
+                    weights,
+                    k_epoch,
+                    cur_lr,
+                    sample_graph=sample_graph,
+                    pos_mask=pos_mask,
+                )
+            epoch_s = meter.stop(pos.shape[0])
+            metrics.write(
+                run=run,
+                epoch=epoch,
+                loss=float(loss),
+                lr=cur_lr,
+                epoch_seconds=epoch_s,
+                agg_edges_per_sec=meter.last_edges_per_sec,
+                pairs_per_sec=meter.last_pairs_per_sec,
             )
             if epoch % args.eval_steps == 0:
                 results = model.test(
@@ -481,7 +517,8 @@ def run_experiment(args, log=print):
                         )
                     emit("---")
                     emit(
-                        f"Training Time Per Epoch: {spent / args.eval_steps: .4f} s"
+                        f"Training Time Per Epoch: {spent / args.eval_steps: .4f} s "
+                        f"({meter.last_edges_per_sec / 1e6:.1f}M agg-edges/s)"
                     )
                     emit("---")
                     start_time = time.time()

@@ -152,3 +152,14 @@ def test_checkpoint_resume_cli(tmp_path):
         log=lambda *_: None,
     )
     assert len(loggers["Hits@20"].results[0]) >= 2  # restored results present
+
+
+def test_metrics_file_written(tmp_path):
+    mf = str(tmp_path / "metrics.jsonl")
+    run_experiment(_args(epochs=2, metrics_file=mf), log=lambda *_: None)
+    import json
+
+    lines = [json.loads(l) for l in open(mf)]
+    assert len(lines) == 2
+    assert {"run", "epoch", "loss", "agg_edges_per_sec"} <= set(lines[0])
+    assert lines[0]["agg_edges_per_sec"] > 0
