@@ -5,12 +5,20 @@ __all__ = ["load_ogb_dataset", "make_synthetic_dataset", "load_dataset"]
 
 
 def load_dataset(name: str, root: str = "dataset"):
-    """Dispatch: ``synthetic:<kind>`` specs or an OGB dataset directory.
+    """Dispatch: ``synthetic:<kind>[:k=v,...]`` specs or an OGB dataset dir.
 
+    Spec examples: ``synthetic:hits``, ``synthetic:mrr``,
+    ``synthetic:hits:num_nodes=50000,num_edges=500000,seed=1``.
     Replaces PygLinkPropPredDataset + get_edge_split (reference main.py:74,95)
     without any torch/ogb dependency for the data model itself.
     """
     if name.startswith("synthetic"):
-        _, _, kind = name.partition(":")
-        return make_synthetic_dataset(kind or "hits")
+        parts = name.split(":")
+        kind = parts[1] if len(parts) > 1 and parts[1] else "hits"
+        kwargs = {}
+        if len(parts) > 2 and parts[2]:
+            for kv in parts[2].split(","):
+                k, _, v = kv.partition("=")
+                kwargs[k.strip()] = int(v)
+        return make_synthetic_dataset(kind, **kwargs)
     return load_ogb_dataset(name, root)

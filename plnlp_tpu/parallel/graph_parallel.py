@@ -42,14 +42,19 @@ __all__ = [
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["pg"],
-    meta_fields=["mesh"],
+    meta_fields=["mesh", "comm"],
 )
 @dataclasses.dataclass(frozen=True)
 class GraphParallel:
-    """Partitioned graph + its mesh (mesh is static/hashable)."""
+    """Partitioned graph + its mesh (mesh/comm are static/hashable).
+
+    comm: 'all_gather' (v1: full feature gather) or 'halo' (v2: per-peer
+    quota-padded all_to_all of only the boundary rows each shard reads).
+    """
 
     pg: PartitionedGraph
     mesh: Mesh
+    comm: str = "all_gather"
 
     @property
     def num_nodes(self) -> int:
@@ -65,6 +70,7 @@ def make_graph_parallel(
     mesh: Mesh,
     block=(128, 512),
     symmetrize: bool = False,
+    comm: str = "all_gather",
 ) -> GraphParallel:
     num_shards = mesh.shape["node"]
     pg = partition_graph(
@@ -76,7 +82,11 @@ def make_graph_parallel(
         block=block,
         symmetrize=symmetrize,
     )
-    return GraphParallel(pg=pg, mesh=mesh)
+    if comm == "halo":
+        from plnlp_tpu.parallel.partition import with_halo
+
+        pg = with_halo(pg)
+    return GraphParallel(pg=pg, mesh=mesh, comm=comm)
 
 
 def shard_node_features(x: jnp.ndarray, pg: PartitionedGraph, mesh: Mesh):
@@ -106,6 +116,34 @@ def _apply(mesh, R, rows, x, blk_src, blk_weight, blk_local, blk_rowblock):
     )(x, blk_src, blk_weight, blk_local, blk_rowblock)
 
 
+def _apply_halo(
+    mesh, R, rows, x, send_idx, halo_src, blk_weight, blk_local, blk_rowblock
+):
+    """Halo-exchange aggregation: send only the unique boundary rows each
+    peer reads (see parallel.halo), then aggregate from the halo buffer."""
+
+    def body(x_blk, sidx, hsrc, bw, bl, brb):
+        send = x_blk[sidx[0].reshape(-1)]  # (S*q, D), ordered by dest shard
+        halo = jax.lax.all_to_all(
+            send, "node", split_axis=0, concat_axis=0, tiled=True
+        )  # (S*q, D): segment s*q.. holds the rows owned by shard s
+        return blocked_sum_arrays(halo, hsrc[0], bw[0], bl[0], brb[0], R, rows)
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("node", None),
+            P("node", None, None),
+            P("node", None, None),
+            P("node", None, None),
+            P("node", None, None),
+            P("node", None),
+        ),
+        out_specs=P("node", None),
+    )(x, send_idx, halo_src, blk_weight, blk_local, blk_rowblock)
+
+
 def _mean_scale(pg: PartitionedGraph, y: jnp.ndarray) -> jnp.ndarray:
     deg = pg.local_in_degrees.reshape(-1)
     scale = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1), 0.0).astype(y.dtype)
@@ -118,40 +156,51 @@ def _zero_cot(leaf):
     return np.zeros(leaf.shape, dtype=jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _pspmm(pg: PartitionedGraph, x: jnp.ndarray, mesh: Mesh, reduce: str):
-    y = _apply(
+def _direction(pg: PartitionedGraph, mesh: Mesh, comm: str, x, direction: str):
+    pre = "fwd_" if direction == "fwd" else "bwd_"
+    get = lambda name: getattr(pg, pre + name)
+    if comm == "halo":
+        return _apply_halo(
+            mesh,
+            pg.block_rows,
+            pg.rows_per_shard,
+            x,
+            get("send_idx"),
+            get("halo_src"),
+            get("blk_weight"),
+            get("blk_local"),
+            get("blk_rowblock"),
+        )
+    return _apply(
         mesh,
         pg.block_rows,
         pg.rows_per_shard,
         x,
-        pg.fwd_blk_src,
-        pg.fwd_blk_weight,
-        pg.fwd_blk_local,
-        pg.fwd_blk_rowblock,
+        get("blk_src"),
+        get("blk_weight"),
+        get("blk_local"),
+        get("blk_rowblock"),
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _pspmm(
+    pg: PartitionedGraph, x: jnp.ndarray, mesh: Mesh, reduce: str, comm: str
+):
+    y = _direction(pg, mesh, comm, x, "fwd")
     if reduce == "mean":
         y = _mean_scale(pg, y)
     return y
 
 
-def _pspmm_fwd(pg, x, mesh, reduce):
-    return _pspmm(pg, x, mesh, reduce), pg
+def _pspmm_fwd(pg, x, mesh, reduce, comm):
+    return _pspmm(pg, x, mesh, reduce, comm), pg
 
 
-def _pspmm_bwd(mesh, reduce, pg, g):
+def _pspmm_bwd(mesh, reduce, comm, pg, g):
     if reduce == "mean":
         g = _mean_scale(pg, g)
-    gx = _apply(
-        mesh,
-        pg.block_rows,
-        pg.rows_per_shard,
-        g,
-        pg.bwd_blk_src,
-        pg.bwd_blk_weight,
-        pg.bwd_blk_local,
-        pg.bwd_blk_rowblock,
-    )
+    gx = _direction(pg, mesh, comm, g, "bwd")
     return (jax.tree_util.tree_map(_zero_cot, pg), gx)
 
 
@@ -166,5 +215,8 @@ def partitioned_spmm(
     pg = gp.pg
     if x.shape[0] < pg.padded_nodes:
         x = jnp.pad(x, ((0, pg.padded_nodes - x.shape[0]), (0, 0)))
-    y = _pspmm(pg, x, gp.mesh, reduce)
+    if gp.comm == "halo" and pg.fwd_send_idx is None:
+        raise ValueError("comm='halo' requires a halo plan (with_halo / "
+                         "make_graph_parallel(comm='halo'))")
+    y = _pspmm(pg, x, gp.mesh, reduce, gp.comm)
     return y[: pg.num_nodes]

@@ -26,7 +26,7 @@ import numpy as np
 
 from plnlp_tpu.graph import _blocks_np, _csr_np, _pad_to
 
-__all__ = ["PartitionedGraph", "partition_graph"]
+__all__ = ["PartitionedGraph", "partition_graph", "with_halo"]
 
 
 @functools.partial(
@@ -41,6 +41,10 @@ __all__ = ["PartitionedGraph", "partition_graph"]
         "bwd_blk_local",
         "bwd_blk_rowblock",
         "local_in_degrees",
+        "fwd_send_idx",
+        "fwd_halo_src",
+        "bwd_send_idx",
+        "bwd_halo_src",
     ],
     meta_fields=[
         "num_nodes",
@@ -48,6 +52,7 @@ __all__ = ["PartitionedGraph", "partition_graph"]
         "rows_per_shard",
         "block_rows",
         "block_edges",
+        "halo_quota",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -67,10 +72,56 @@ class PartitionedGraph:
     rows_per_shard: int
     block_rows: int
     block_edges: int
+    # --- optional halo-exchange plan (None until with_halo) ---
+    fwd_send_idx: Optional[jnp.ndarray] = None  # (S, S, q) int32
+    fwd_halo_src: Optional[jnp.ndarray] = None  # (S, nblk_f, B) int32
+    bwd_send_idx: Optional[jnp.ndarray] = None
+    bwd_halo_src: Optional[jnp.ndarray] = None
+    halo_quota: int = 0
 
     @property
     def padded_nodes(self) -> int:
         return self.num_shards * self.rows_per_shard
+
+
+def with_halo(pg: PartitionedGraph) -> PartitionedGraph:
+    """Attach halo-exchange plans for both directions (host-side)."""
+    from plnlp_tpu.parallel.halo import build_halo_plan
+
+    f_send, f_src, qf = build_halo_plan(
+        np.asarray(pg.fwd_blk_src),
+        np.asarray(pg.fwd_blk_weight),
+        pg.rows_per_shard,
+        pg.num_shards,
+    )
+    b_send, b_src, qb = build_halo_plan(
+        np.asarray(pg.bwd_blk_src),
+        np.asarray(pg.bwd_blk_weight),
+        pg.rows_per_shard,
+        pg.num_shards,
+    )
+    q = max(qf, qb)
+    # unify quotas so fwd/bwd halo buffers share a static shape family
+
+    def repad(send, src, q_old):
+        if q_old == q:
+            return send, src
+        pad = q - q_old
+        send = np.pad(send, ((0, 0), (0, 0), (0, pad)))
+        owners = src // q_old
+        within = src % q_old
+        return send, owners * q + within
+
+    f_send, f_src = repad(f_send, f_src, qf)
+    b_send, b_src = repad(b_send, b_src, qb)
+    return dataclasses.replace(
+        pg,
+        fwd_send_idx=jnp.asarray(f_send),
+        fwd_halo_src=jnp.asarray(f_src.astype(np.int32)),
+        bwd_send_idx=jnp.asarray(b_send),
+        bwd_halo_src=jnp.asarray(b_src.astype(np.int32)),
+        halo_quota=q,
+    )
 
 
 def _shard_blocks(

@@ -130,3 +130,55 @@ def test_full_train_step_with_graph_parallel(setup, rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
         )
+
+
+@pytest.mark.parametrize("shards", [2, 8])
+@pytest.mark.parametrize("reduce", ["sum", "mean"])
+def test_halo_spmm_matches_single(setup, shards, reduce):
+    from plnlp_tpu.parallel.partition import with_halo
+
+    n, d, src, dst, w, g, x = setup
+    pg = with_halo(
+        partition_graph(src, dst, w, num_nodes=n, num_shards=shards, block=(8, 128))
+    )
+    mesh = make_mesh(data=1, node=shards)
+    gp = GraphParallel(pg=pg, mesh=mesh, comm="halo")
+    xs = shard_node_features(x, pg, mesh)
+    out = partitioned_spmm(gp, xs, reduce)[:n]
+    expect = spmm_segment(g, x, reduce)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expect), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_halo_gradient_matches_single(setup):
+    from plnlp_tpu.parallel.partition import with_halo
+
+    n, d, src, dst, w, g, x = setup
+    pg = with_halo(
+        partition_graph(src, dst, w, num_nodes=n, num_shards=4, block=(8, 128))
+    )
+    mesh = make_mesh(data=1, node=4)
+    gp = GraphParallel(pg=pg, mesh=mesh, comm="halo")
+    xs = shard_node_features(x, pg, mesh)
+    cot = jnp.asarray(np.random.default_rng(3).standard_normal((n, d)), jnp.float32)
+    gx = jax.grad(lambda x: jnp.vdot(partitioned_spmm(gp, x, "mean"), cot))(xs)
+    gx_ref = jax.grad(lambda x: jnp.vdot(spmm_segment(g, x, "mean"), cot))(x)
+    np.testing.assert_allclose(
+        np.asarray(gx)[:n], np.asarray(gx_ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_halo_quota_smaller_than_allgather(setup):
+    """For a partition-local graph the halo volume must be < full gather."""
+    from plnlp_tpu.parallel.partition import with_halo
+
+    n = 128
+    # ring graph: each node only talks to neighbors -> tiny halos
+    src = np.arange(n)
+    dst = (np.arange(n) + 1) % n
+    pg = with_halo(
+        partition_graph(src, dst, None, num_nodes=n, num_shards=8, block=(8, 32))
+    )
+    # halo buffer per shard = S * q rows; must be well under N
+    assert pg.num_shards * pg.halo_quota < n
