@@ -417,6 +417,9 @@ def run_experiment(args, log=print):
     # runs (model.py:85-96); --reset_optimizer restores the clean behavior.
     params = model.init_params(jax.random.PRNGKey(args.seed))
     opt_state = model.init_opt_state(params)
+    emit(
+        f"Total number of model parameters is {model.param_count(params)}"
+    )
 
     from plnlp_tpu.profiling import MetricsWriter, ThroughputMeter, profile_trace
 

@@ -126,8 +126,13 @@ class Model:
         self.num_node_feats = num_node_feats
         self.pretrain_emb = pretrain_emb
 
-        # Input layer sizing — reference create_input_layer (model.py:229-249).
+        # Input layer sizing — reference create_input_layer (model.py:229-249):
+        # with node feats, a fresh trainable table is ADDED when
+        # train_node_emb, else a frozen pretrained one if provided; without
+        # node feats a pretrained table (frozen, from_pretrained semantics)
+        # wins over a fresh one whenever given.
         self.use_emb = False
+        self.use_pretrained = False
         emb_dim = 0
         if cfg.use_node_feats:
             input_dim = num_node_feats
@@ -137,20 +142,20 @@ class Model:
                 input_dim += emb_dim
             elif pretrain_emb is not None:
                 self.use_emb = True
+                self.use_pretrained = True
                 emb_dim = pretrain_emb.shape[1]
                 input_dim += emb_dim
         else:
             self.use_emb = True
             if pretrain_emb is not None:
+                self.use_pretrained = True
                 emb_dim = pretrain_emb.shape[1]
             else:
                 emb_dim = cfg.emb_hidden_channels
             input_dim = emb_dim
         self.emb_dim = emb_dim
         self.input_dim = input_dim
-        self.emb_trainable = self.use_emb and (
-            pretrain_emb is None or cfg.train_node_emb
-        )
+        self.emb_trainable = self.use_emb and not self.use_pretrained
 
         self.compute_dtype = jnp.dtype(cfg.compute_dtype)
         self._opt = _make_optimizer(cfg.optimizer)
@@ -161,6 +166,7 @@ class Model:
         )
         self._encode = jax.jit(self._encode_impl)
         self._predict_chunk = jax.jit(self._predict_chunk_impl)
+        self._predict_mapped = jax.jit(self._predict_mapped_impl)
 
     # -- parameters ---------------------------------------------------------
 
@@ -184,13 +190,22 @@ class Model:
             ),
         }
         if self.use_emb:
-            if self.pretrain_emb is not None:
+            if self.use_pretrained:
                 params["emb"] = jnp.asarray(self.pretrain_emb, jnp.float32)
             else:
                 params["emb"] = xavier_uniform(
                     k_emb, (self.num_nodes, self.emb_dim)
                 )
         return params
+
+    def param_count(self, params=None) -> int:
+        """Total parameter count, frozen embeddings included — matching the
+        reference's para_list accounting (model.py:80-83, main.py:209-212)."""
+        if params is None:
+            params = self.init_params(jax.random.PRNGKey(0))
+        return sum(
+            int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params)
+        )
 
     def init_opt_state(self, params):
         return self._opt.init(params)
@@ -413,23 +428,28 @@ class Model:
         )
         return out.reshape(-1).astype(jnp.float32)
 
+    def _predict_mapped_impl(self, params, h, chunks):
+        # lax.map keeps per-chunk memory bounded while staying in ONE
+        # compiled computation — a single host sync for the whole edge set
+        # (the per-chunk-python-loop version costs one device round-trip per
+        # 64Ki chunk, which dominates eval at citation2 scale).
+        return jax.lax.map(
+            lambda c: self._predict_chunk_impl(params, h, c), chunks
+        )
+
     def batch_predict(self, params, h, edges: jnp.ndarray) -> np.ndarray:
         """Chunked pair scoring — reference batch_predict (model.py:175-182)."""
         bs = self.cfg.eval_batch_size or self.cfg.batch_size
         m = edges.shape[0]
-        outs = []
-        for lo in range(0, m, bs):
-            hi = min(lo + bs, m)
-            chunk = edges[lo:hi]
-            if hi - lo < bs:  # pad to static shape, slice result
-                pad = bs - (hi - lo)
-                chunk = jnp.concatenate(
-                    [chunk, jnp.zeros((pad, 2), chunk.dtype)]
-                )
-                outs.append(np.asarray(self._predict_chunk(params, h, chunk))[: hi - lo])
-            else:
-                outs.append(np.asarray(self._predict_chunk(params, h, chunk)))
-        return np.concatenate(outs) if outs else np.zeros((0,), np.float32)
+        if m == 0:
+            return np.zeros((0,), np.float32)
+        nchunks = max(1, -(-m // bs))
+        pad = nchunks * bs - m
+        if pad:
+            edges = jnp.concatenate([edges, jnp.zeros((pad, 2), edges.dtype)])
+        chunks = edges.reshape(nchunks, bs, 2)
+        out = self._predict_mapped(params, h, chunks)
+        return np.asarray(out.reshape(-1)[:m])
 
     def test(
         self,

@@ -256,3 +256,29 @@ def test_bf16_compute_mode(rng):
     # eval path works and produces f32 scores
     h = model16._encode(p, g, None, None)
     assert h.dtype == jnp.float32
+
+
+def test_pretrained_wins_over_train_node_emb(rng):
+    """!use_node_feats + pretrain: pretrained table used and FROZEN even
+    with train_node_emb=True (from_pretrained semantics, model.py:244-248)."""
+    n = 40
+    pre = np.random.default_rng(0).standard_normal((n, 8)).astype(np.float32)
+    cfg = ModelConfig(
+        emb_hidden_channels=16, gnn_hidden_channels=8, mlp_hidden_channels=8,
+        batch_size=32, train_node_emb=True, use_node_feats=False,
+    )
+    model = Model(cfg, num_nodes=n, pretrain_emb=pre)
+    assert model.use_pretrained and not model.emb_trainable
+    assert model.input_dim == 8  # pretrained dim, not emb_hidden_channels
+    params = model.init_params(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(params["emb"]), pre)
+
+
+def test_param_count():
+    cfg = ModelConfig(
+        emb_hidden_channels=4, gnn_hidden_channels=4, mlp_hidden_channels=4,
+        gnn_num_layers=1, mlp_num_layers=1, batch_size=32,
+    )
+    model = Model(cfg, num_nodes=10)
+    # emb 10*4 + SAGE layer (lin_l 4*4+4, lin_r 4*4) + MLP [4->1] (4+1)
+    assert model.param_count() == 40 + (16 + 4 + 16) + (4 + 1)
