@@ -15,8 +15,6 @@ formula.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 
 __all__ = [

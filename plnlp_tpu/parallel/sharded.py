@@ -8,13 +8,10 @@ collectives.  Parity with the single-device step is asserted in tests on the
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from plnlp_tpu.parallel.mesh import param_shardings, shard_batch, shard_graph, shard_params
+from plnlp_tpu.parallel.mesh import param_shardings
 from plnlp_tpu.training import Model
 
 __all__ = ["make_sharded_train_step", "shard_state"]

@@ -21,14 +21,13 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from plnlp_tpu.dense import DenseAdj
 from plnlp_tpu.graph import Graph
 from plnlp_tpu.losses import calculate_loss
 from plnlp_tpu.metrics import evaluate_hits, evaluate_mrr
