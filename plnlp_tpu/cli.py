@@ -111,6 +111,11 @@ def argument(argv=None):
         help="encoder/predictor matmul dtype (master weights stay f32)",
     )
     parser.add_argument(
+        "--remat", type=str2bool, default=False,
+        help="rematerialize encoder layers in the backward pass "
+        "(activation memory for FLOPs; giant graphs)",
+    )
+    parser.add_argument(
         "--profile_dir", type=str, default="",
         help="capture a jax.profiler trace of the first profiled epoch here",
     )
@@ -343,6 +348,7 @@ def prepare_experiment(args):
         use_node_feats=args.use_node_feats,
         train_node_emb=args.train_node_emb,
         compute_dtype=getattr(args, "compute_dtype", "float32"),
+        remat=getattr(args, "remat", False),
     )
     model = Model(cfg, num_nodes, num_node_feats, pretrain_emb)
 

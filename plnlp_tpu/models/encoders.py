@@ -185,9 +185,14 @@ def apply_encoder(
     dropout: float = 0.0,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    remat: bool = False,
 ):
+    """``remat=True`` rematerializes each conv layer in the backward pass
+    (jax.checkpoint) — trades FLOPs for activation memory on giant graphs."""
     name = name.upper()
     conv = _CONVS[name]
+    if remat:
+        conv = jax.checkpoint(conv, static_argnums=())
     layers = params["layers"]
     num_layers = len(layers)
     keys = (

@@ -30,7 +30,9 @@ __all__ = [
     "global_neg_sample",
     "global_perm_neg_sample",
     "local_neg_sample",
+    "local_dist_neg_sample",
     "sample_perm_copy",
+    "degree_unigram_table",
 ]
 
 _REJECTION_ROUNDS = 4
@@ -121,6 +123,51 @@ def global_perm_neg_sample(
     k1, k2 = jax.random.split(key)
     pool = _sample_non_edges(k1, graph, num_samples)
     return sample_perm_copy(k2, pool, num_neg)
+
+
+def degree_unigram_table(
+    graph: Graph, power: float = 0.75, table_size: int = 1_000_000
+) -> jnp.ndarray:
+    """Degree^power unigram sampling table (word2vec-style).
+
+    A WORKING counterpart of the reference's dead code
+    (generate_neg_dist_table, utils.py:100-117 — defined but never called,
+    and its consumer local_dist_neg_sample is commented out at
+    negative_sample.py:46-58).  Vectorized host-side; degrees include a
+    self-loop like the reference's set_diag."""
+    import numpy as np
+
+    deg = np.asarray(graph.in_degrees).astype(np.float64) + 1.0
+    p = deg**power
+    cum = np.cumsum(p / p.sum())
+    # table[i] = smallest node j with cum[j] > i/table_size
+    grid = (np.arange(table_size) + 0.5) / table_size
+    table = np.searchsorted(cum, grid).astype(np.int32)
+    return jnp.asarray(np.minimum(table, graph.num_nodes - 1))
+
+
+@functools.partial(jax.jit, static_argnames=("num_neg", "random_src"))
+def local_dist_neg_sample(
+    key,
+    pos_edges: jnp.ndarray,
+    neg_table: jnp.ndarray,
+    num_neg: int,
+    random_src: bool = True,
+) -> jnp.ndarray:
+    """Degree-biased local sampler — the reference's commented-out
+    local_dist_neg_sample (negative_sample.py:46-58), made functional:
+    destinations drawn from the unigram table instead of uniformly."""
+    p = pos_edges.shape[0]
+    k1, k2 = jax.random.split(key)
+    if random_src:
+        side = jax.random.randint(k1, (p,), 0, 2)
+        neg_src = pos_edges[jnp.arange(p), side]
+    else:
+        neg_src = pos_edges[:, 0]
+    neg_src = jnp.repeat(neg_src.reshape(-1, 1), num_neg, axis=1).reshape(-1)
+    slot = jax.random.randint(k2, (num_neg * p,), 0, neg_table.shape[0])
+    neg_dst = neg_table[slot].astype(pos_edges.dtype)
+    return jnp.stack([neg_src, neg_dst], axis=-1).reshape(p, num_neg, 2)
 
 
 @functools.partial(jax.jit, static_argnames=("num_nodes", "num_neg", "random_src"))

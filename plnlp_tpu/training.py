@@ -72,6 +72,8 @@ class ModelConfig:
     # TPU-native extra: run encoder/predictor matmuls in bf16 (master weights
     # stay f32; losses/metrics accumulate in f32). ~6-10x MXU throughput.
     compute_dtype: str = "float32"
+    # Rematerialize encoder layers in the backward (memory for FLOPs).
+    remat: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -236,6 +238,7 @@ class Model:
             dropout=cfg.dropout,
             train=True,
             rng=k_enc,
+            remat=cfg.remat,
         )
         neg_flat = neg.reshape(-1, 2)
         pos_out = apply_predictor(

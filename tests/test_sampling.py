@@ -98,3 +98,44 @@ def test_local_neg_sample_random_src(rng):
     assert 0.2 < from_col0 <= 1.0
     src_ok = (o[:, 0, 0] == p[:, 0]) | (o[:, 0, 0] == p[:, 1])
     assert src_ok.all()
+
+
+def test_degree_unigram_table_and_local_dist(rng):
+    from plnlp_tpu.sampling import degree_unigram_table, local_dist_neg_sample
+
+    g = _graph(rng, n=30, e=400)
+    table = degree_unigram_table(g, table_size=30000)
+    assert table.shape == (30000,)
+    counts = np.bincount(np.asarray(table), minlength=30)
+    deg = np.asarray(g.in_degrees) + 1.0
+    p = deg**0.75
+    p /= p.sum()
+    # empirical table frequencies ≈ degree^0.75 distribution
+    np.testing.assert_allclose(counts / 30000, p, atol=0.01)
+
+    pos = jnp.asarray(rng.integers(0, 30, (50, 2)).astype(np.int32))
+    out = local_dist_neg_sample(jax.random.PRNGKey(0), pos, table, 4)
+    assert out.shape == (50, 4, 2)
+    o = np.asarray(out)
+    src_ok = (o[:, :, 0] == np.asarray(pos)[:, :1]) | (
+        o[:, :, 0] == np.asarray(pos)[:, 1:]
+    )
+    assert src_ok.all()  # random_src=True picks an endpoint
+
+
+def test_remat_matches_no_remat(rng):
+    from plnlp_tpu.graph import build_graph
+    from plnlp_tpu.models import apply_encoder, init_encoder
+
+    src, dst, _ = random_graph_np(rng, 40, 200)
+    g = build_graph(src, dst, None, num_nodes=40)
+    params = init_encoder(jax.random.PRNGKey(0), "SAGE", 8, 8, 2)
+    x = jnp.asarray(rng.standard_normal((40, 8)), jnp.float32)
+
+    def loss(p, remat):
+        return jnp.sum(apply_encoder(p, "SAGE", g, x, remat=remat) ** 2)
+
+    g1 = jax.grad(lambda p: loss(p, False))(params)
+    g2 = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
