@@ -58,8 +58,15 @@ _EDGE_PAD = 512
         "blk_weight",
         "blk_local",
         "blk_rowblock",
+        "edge_mask",
     ],
-    meta_fields=["num_nodes", "num_edges", "block_rows", "block_edges"],
+    meta_fields=[
+        "num_nodes",
+        "num_edges",
+        "block_rows",
+        "block_edges",
+        "max_degree",
+    ],
 )
 @dataclasses.dataclass(frozen=True)
 class Graph:
@@ -87,6 +94,10 @@ class Graph:
     blk_rowblock: Optional[jnp.ndarray] = None  # [nblk] int32, sorted
     block_rows: int = 0  # R: rows per row-block
     block_edges: int = 0  # B: edges per sub-block
+    # Bit-packed N×N adjacency mask for O(1) membership tests (small graphs
+    # only; see sampling.edges_exist). [N * ceil(N/8)] uint8.
+    edge_mask: Optional[jnp.ndarray] = None
+    max_degree: int = 0  # bounds the CSR binary search on big graphs
 
     @property
     def num_edges_padded(self) -> int:
@@ -318,7 +329,24 @@ def _csr_np(
         "indptr": indptr,
         "num_nodes": int(num_nodes),
         "num_edges": int(num_edges),
+        "max_degree": int(np.diff(indptr).max()) if num_nodes else 0,
     }
+
+
+# Graphs up to this many nodes get a bit-packed adjacency mask for O(1)
+# membership tests in the negative samplers (N=20k -> 50 MB of mask).
+_EDGE_MASK_MAX_NODES = 20_000
+
+
+def _edge_mask_np(csr) -> Optional[np.ndarray]:
+    n = csr["num_nodes"]
+    if n == 0 or n > _EDGE_MASK_MAX_NODES:
+        return None
+    e = csr["num_edges"]
+    dense = np.zeros((n, n), dtype=bool)
+    dense[csr["receivers"][:e], csr["senders"][:e]] = True
+    # row-major bit packing: byte (u, v//8), bit v%8 (little-endian bits)
+    return np.packbits(dense, axis=1, bitorder="little").reshape(-1)
 
 
 def _blocks_np(csr, block_rows: int, block_edges: int):
@@ -365,6 +393,7 @@ def _blocks_np(csr, block_rows: int, block_edges: int):
 
 def _to_graph(csr, blocks=None) -> Graph:
     """Single host→device push of all arrays (no readbacks ever)."""
+    mask = _edge_mask_np(csr)
     fields = {
         "senders": jnp.asarray(csr["senders"]),
         "receivers": jnp.asarray(csr["receivers"]),
@@ -372,6 +401,8 @@ def _to_graph(csr, blocks=None) -> Graph:
         "indptr": jnp.asarray(csr["indptr"]),
         "num_nodes": csr["num_nodes"],
         "num_edges": csr["num_edges"],
+        "max_degree": csr.get("max_degree", 0),
+        "edge_mask": None if mask is None else jnp.asarray(mask),
     }
     if blocks is not None:
         fields.update(

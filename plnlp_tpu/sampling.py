@@ -39,14 +39,21 @@ _REJECTION_ROUNDS = 4
 
 
 def edges_exist(graph: Graph, src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
-    """True where (src, dst) is a real edge. Vectorized CSR binary search.
+    """True where (src, dst) is a real edge.
 
-    Searches ``senders[indptr[dst]:indptr[dst+1]]`` (sorted ascending by the
-    Graph (receiver, sender) ordering) for ``src``.
+    Small graphs carry a bit-packed adjacency mask (one gather per query);
+    large graphs fall back to a vectorized binary search over
+    ``senders[indptr[dst]:indptr[dst+1]]`` whose step count is bounded by the
+    MAX DEGREE, not the edge count (the sampler calls this ~rounds× per
+    epoch over millions of candidates — it must not be gather-pass heavy).
     """
+    if graph.edge_mask is not None:
+        w = (graph.num_nodes + 7) // 8
+        byte = graph.edge_mask[dst * w + (src >> 3)]
+        return ((byte >> (src & 7).astype(jnp.uint8)) & 1).astype(bool)
     lo = graph.indptr[dst]
     hi = graph.indptr[dst + 1]
-    steps = math.ceil(math.log2(graph.num_edges + 2)) + 1
+    steps = math.ceil(math.log2(max(graph.max_degree, 1) + 1)) + 1
 
     def body(_, state):
         lo, hi = state

@@ -139,3 +139,22 @@ def test_remat_matches_no_remat(rng):
     g2 = jax.grad(lambda p: loss(p, True))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_edges_exist_bitmask_vs_binary_search(rng):
+    """Small graphs use the bitmask; force the search path and compare."""
+    import dataclasses
+
+    g = _graph(rng, n=60, e=500)
+    assert g.edge_mask is not None
+    qs = jnp.asarray(rng.integers(0, 60, 2000).astype(np.int32))
+    qd = jnp.asarray(rng.integers(0, 60, 2000).astype(np.int32))
+    via_mask = np.asarray(edges_exist(g, qs, qd))
+    g_nomask = dataclasses.replace(g, edge_mask=None)
+    via_search = np.asarray(edges_exist(g_nomask, qs, qd))
+    np.testing.assert_array_equal(via_mask, via_search)
+    # dense oracle
+    a = np.zeros((60, 60), bool)
+    e = g.num_edges
+    a[np.asarray(g.receivers)[:e], np.asarray(g.senders)[:e]] = True
+    np.testing.assert_array_equal(via_mask, a[np.asarray(qd), np.asarray(qs)])
