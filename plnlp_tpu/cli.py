@@ -100,7 +100,7 @@ def argument(argv=None):
         help="dense adjacency (MXU path, small graphs) vs blocked CSR",
     )
     parser.add_argument("--dense_threshold", type=int, default=20000)
-    parser.add_argument("--block_rows", type=int, default=128)
+    parser.add_argument("--block_rows", type=int, default=512)
     parser.add_argument("--block_edges", type=int, default=512)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(

@@ -445,7 +445,7 @@ def prepare_graph(
     num_nodes: int,
     symmetrize: bool = False,
     coalesce: bool = True,
-    block: Optional[Tuple[int, int]] = (256, 512),
+    block: Optional[Tuple[int, int]] = (512, 512),
     edge_pad_multiple: int = _EDGE_PAD,
 ) -> Tuple[Graph, Graph]:
     """One-shot production path: (graph, transposed graph), both blocked,
