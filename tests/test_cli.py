@@ -176,3 +176,32 @@ def test_sbm_dataset_learnable():
     )
     valid, test = loggers["Hits@50"].results[0][-1]
     assert valid > 0.15  # random scoring gives ~Hits@50 ≈ 50/2000 ≈ 0.025
+
+
+def test_ogb_loader_directory_format(tmp_path):
+    """Loader reads the published OGB on-disk layout (fabricated here)."""
+    import gzip
+    import os
+
+    import torch
+
+    from plnlp_tpu.data.ogb import load_ogb_dataset
+
+    base = tmp_path / "ogbl_fake"
+    (base / "raw").mkdir(parents=True)
+    (base / "split" / "target").mkdir(parents=True)
+    edges = np.array([[0, 1], [1, 2], [2, 3], [3, 0]])
+    with gzip.open(base / "raw" / "edge.csv.gz", "wt") as f:
+        for u, v in edges:
+            f.write(f"{u},{v}\n")
+    with gzip.open(base / "raw" / "num-node-list.csv.gz", "wt") as f:
+        f.write("4\n")
+    for name in ("train", "valid", "test"):
+        torch.save(
+            {"edge": torch.tensor(edges), "edge_neg": torch.tensor(edges[::-1].copy())},
+            base / "split" / "target" / f"{name}.pt",
+        )
+    ds = load_ogb_dataset("ogbl-fake", str(tmp_path))
+    assert ds["num_nodes"] == 4
+    assert ds["edge_index"].shape == (2, 4)
+    assert ds["split_edge"]["valid"]["edge_neg"].shape == (4, 2)
