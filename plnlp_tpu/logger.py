@@ -34,6 +34,8 @@ class Logger:
 
     def best(self, run: int, last_best: bool = False) -> Tuple[float, float, int]:
         """(highest valid, test at that eval point, argmax index) — ×100."""
+        if not self.results[run]:  # no eval points (epochs < eval_steps)
+            return float("nan"), float("nan"), -1
         r = 100 * np.asarray(self.results[run])
         idx = _argmax_valid(r[:, 0], last_best)
         return float(r[:, 0].max()), float(r[idx, 1]), idx
@@ -47,6 +49,8 @@ class Logger:
             a = 100 * np.asarray(r)
             idx = _argmax_valid(a[:, 0], last_best)
             best.append((float(a[:, 0].max()), float(a[idx, 1])))
+        if not best:  # no eval points recorded (epochs < eval_steps)
+            return float("nan"), 0.0, float("nan"), 0.0
         b = np.asarray(best)
         # ddof=1 matches torch.std (reference logger.py:45-48)
         std = b.std(axis=0, ddof=1) if len(b) > 1 else np.zeros(2)

@@ -205,3 +205,42 @@ def test_ogb_loader_directory_format(tmp_path):
     assert ds["num_nodes"] == 4
     assert ds["edge_index"].shape == (2, 4)
     assert ds["split_edge"]["valid"]["edge_neg"].shape == (4, 2)
+
+
+def test_no_eval_points_does_not_crash():
+    """epochs < eval_steps -> zero eval points; summary must not crash."""
+    loggers = run_experiment(_args(epochs=1, eval_steps=5), log=lambda *_: None)
+    vm, vs, tm, ts = loggers["Hits@20"].summary()
+    assert np.isnan(vm)
+
+
+def test_use_node_feats_end_to_end():
+    run_experiment(
+        _args(
+            data_name="synthetic:hits:num_node_feats=8",
+            use_node_feats=True,
+            epochs=1,
+        ),
+        log=lambda *_: None,
+    )
+    run_experiment(
+        _args(
+            data_name="synthetic:hits:num_node_feats=8",
+            use_node_feats=True,
+            train_node_emb=False,
+            epochs=1,
+        ),
+        log=lambda *_: None,
+    )
+
+
+def test_walk_start_type_node():
+    run_experiment(
+        _args(
+            random_walk_augment=True,
+            walk_start_type="node",
+            walk_length=2,
+            epochs=1,
+        ),
+        log=lambda *_: None,
+    )
