@@ -120,14 +120,14 @@ def _wsage_conv(lp, graph, graph_t, x):
 
 def _transformer_conv(lp, graph, graph_t, x):
     from plnlp_tpu.dense import DenseAdj
-    from plnlp_tpu.parallel.graph_parallel import GraphParallel
+    from plnlp_tpu.parallel.graph_parallel import (
+        GraphParallel,
+        partitioned_transformer_conv,
+    )
 
     if isinstance(graph, GraphParallel):
-        raise NotImplementedError(
-            "TransformerConv over a partitioned graph is not yet supported; "
-            "use SAGE/GCN/WSAGE for multi-chip graph parallelism or a "
-            "replicated Graph/DenseAdj."
-        )
+        # Destination-sharded edges make every softmax segment shard-local.
+        return partitioned_transformer_conv(graph, lp, x)
 
     d = lp["lin_query"]["w"].shape[1]
     q = linear(lp["lin_query"], x)

@@ -218,3 +218,66 @@ def partitioned_spmm(
                          "make_graph_parallel(comm='halo'))")
     y = _pspmm(pg, x, gp.mesh, reduce, gp.comm)
     return y[: pg.num_nodes]
+
+
+def partitioned_transformer_conv(gp: GraphParallel, lp, x: jnp.ndarray):
+    """One TransformerConv layer over a partitioned graph.
+
+    Because edges are destination-sharded, the per-destination softmax
+    segments are entirely shard-local: each shard computes its own edges'
+    attention logits (q from local rows, k/v from the all-gathered features),
+    normalizes over its local destinations, and reuses the blocked
+    scatter-matmul with the attention weights as the runtime edge weights.
+    Backward runs through XLA autodiff (no custom VJP yet — correctness
+    path; see TODO_ROUND2.md).
+    """
+    import math as _math
+
+    from plnlp_tpu.nn import linear
+
+    pg = gp.pg
+    R = pg.block_rows
+    rows = pg.rows_per_shard
+    d = lp["lin_query"]["w"].shape[1]
+    if x.shape[0] < pg.padded_nodes:
+        x = jnp.pad(x, ((0, pg.padded_nodes - x.shape[0]), (0, 0)))
+
+    def body(x_blk, bs, bw, bl, brb):
+        x_full = jax.lax.all_gather(x_blk, "node", axis=0, tiled=True)
+        q = linear(lp["lin_query"], x_blk)  # local rows only
+        k = linear(lp["lin_key"], x_full)
+        v = linear(lp["lin_value"], x_full)
+        bs0, bw0, bl0, brb0 = bs[0], bw[0], bl[0], brb[0]
+        dst_local = brb0[:, None] * R + bl0  # (nblk, B) shard-local rows
+        logits = (
+            jnp.sum(q[dst_local] * k[bs0], axis=-1) / _math.sqrt(d)
+        ).astype(jnp.float32)
+        valid = bw0 != 0
+        flat_dst = dst_local.reshape(-1)
+        flat_logits = jnp.where(valid.reshape(-1), logits.reshape(-1), -jnp.inf)
+        seg_max = jax.ops.segment_max(flat_logits, flat_dst, num_segments=rows)
+        seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+        ex = jnp.where(
+            valid.reshape(-1),
+            jnp.exp(flat_logits - seg_max[flat_dst]),
+            0.0,
+        )
+        seg_sum = jax.ops.segment_sum(ex, flat_dst, num_segments=rows)
+        denom = jnp.maximum(seg_sum, jnp.finfo(jnp.float32).tiny)
+        alpha = (ex / denom[flat_dst]).reshape(bw0.shape).astype(jnp.float32)
+        agg = blocked_sum_arrays(v, bs0, alpha, bl0, brb0, R, rows)
+        return agg + linear(lp["lin_skip"], x_blk)
+
+    out = jax.shard_map(
+        body,
+        mesh=gp.mesh,
+        in_specs=(
+            P("node", None),
+            P("node", None, None),
+            P("node", None, None),
+            P("node", None, None),
+            P("node", None),
+        ),
+        out_specs=P("node", None),
+    )(x, pg.fwd_blk_src, pg.fwd_blk_weight, pg.fwd_blk_local, pg.fwd_blk_rowblock)
+    return out[: pg.num_nodes]
