@@ -244,3 +244,20 @@ def test_walk_start_type_node():
         ),
         log=lambda *_: None,
     )
+
+
+def test_surgery_use_coalesce():
+    """--use_coalesce dedups the train pair set before weight normalization
+    (reference main.py:140-141)."""
+    ds = make_synthetic_dataset("hits", weighted=True, with_year=True)
+    a1 = _args(use_valedges_as_input=True, data_name="ogbl-collab")
+    a2 = _args(use_valedges_as_input=True, use_coalesce=True, data_name="ogbl-collab")
+    out1 = apply_dataset_surgery(ds, a1)
+    out2 = apply_dataset_surgery(ds, a2)
+    e1 = out1["split_edge"]["train"]["edge"]
+    e2 = out2["split_edge"]["train"]["edge"]
+    # coalesced pair set has no duplicate (u,v) rows
+    keys2 = e2[:, 0] * ds["num_nodes"] + e2[:, 1]
+    assert len(np.unique(keys2)) == len(keys2)
+    assert len(e2) <= len(e1)
+    assert np.isfinite(out2["split_edge"]["train"]["weight"]).all()
