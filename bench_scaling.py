@@ -42,6 +42,22 @@ def main():
 
     shard_counts = [s for s in (1, 2, 4, 8, 16) if s <= n_dev]
     base = None
+    # Efficiency is only meaningful on real accelerator devices with a
+    # 1-shard anchor; on a forced-multi-CPU host the "devices" share the same
+    # cores and any efficiency figure is noise — emit null there so the
+    # numbers can't be quoted as scaling results.
+    platform = jax.devices()[0].platform
+    efficiency_valid = platform == "tpu" and shard_counts[0] == 1
+    if not efficiency_valid:
+        print(
+            json.dumps(
+                {
+                    "warning": "scaling_efficiency reported as null: "
+                    f"platform={platform!r}, first_shards={shard_counts[0]} "
+                    "(needs tpu devices and a 1-shard anchor)"
+                }
+            )
+        )
     for comm in args.comm.split(","):
         for shards in shard_counts:
             pg = partition_graph(
@@ -80,8 +96,10 @@ def main():
                         "shards": shards,
                         "spmm_fwd_bwd_ms": round(dt * 1000, 1),
                         "edges_per_sec": round(edges_per_sec),
-                        "scaling_efficiency": round(
-                            edges_per_sec / (base * shards / shard_counts[0]), 3
+                        "scaling_efficiency": (
+                            round(edges_per_sec / (base * shards), 3)
+                            if efficiency_valid
+                            else None
                         ),
                         "halo_quota": pg.halo_quota,
                     }

@@ -25,6 +25,11 @@ class ThroughputMeter:
     Per epoch the encoder runs fwd+bwd over ALL edges once per pair batch
     (reference model.py:150-151 inside the loop), so
         agg_edges = num_batches × num_edges × gnn_layers × 2.
+
+    ``last_edges_per_sec`` counts EXECUTED work (the padded final batch does
+    run a full-graph encoder pass on hardware); ``last_useful_edges_per_sec``
+    discounts it by the fraction of real (unmasked) pairs, so a
+    non-multiple-of-batch epoch is not credited for padding.
     """
 
     def __init__(self, num_edges: int, gnn_layers: int, batch_size: int):
@@ -33,6 +38,7 @@ class ThroughputMeter:
         self.batch_size = batch_size
         self._t0: Optional[float] = None
         self.last_edges_per_sec = 0.0
+        self.last_useful_edges_per_sec = 0.0
         self.last_pairs_per_sec = 0.0
 
     def start(self):
@@ -42,7 +48,9 @@ class ThroughputMeter:
         dt = max(time.time() - self._t0, 1e-9)
         num_batches = max(1, math.ceil(num_pos / self.batch_size))
         agg_edges = num_batches * self.num_edges * self.gnn_layers * 2
+        useful_frac = num_pos / max(num_batches * self.batch_size, 1)
         self.last_edges_per_sec = agg_edges / dt
+        self.last_useful_edges_per_sec = agg_edges * useful_frac / dt
         self.last_pairs_per_sec = num_pos / dt
         return dt
 

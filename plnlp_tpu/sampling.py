@@ -90,10 +90,25 @@ def _sample_non_edges(key, graph: Graph, count: int) -> jnp.ndarray:
 
     key, k0 = jax.random.split(key)
     init = jax.random.randint(k0, (2, count), 0, n, dtype=jnp.int32)
-    _, src, dst = jax.lax.fori_loop(
+    key, src, dst = jax.lax.fori_loop(
         0, _REJECTION_ROUNDS, round_body, (key, init[0], init[1])
     )
-    return jnp.stack([src, dst], axis=-1)  # (count, 2)
+    # Final exact pass: the reference NEVER emits true edges — PyG filters
+    # them and PLNLP pads any undershoot by re-using already-sampled
+    # negatives with replacement (negative_sample.py:14-18).  Mirror that:
+    # any candidate still colliding after the fixed rounds is replaced by a
+    # random known-good candidate from this same batch (a duplicate
+    # negative, exactly the reference's fallback distribution).  Only if the
+    # ENTIRE batch collided (complete graph — no non-edges exist) does the
+    # original candidate pass through.
+    bad = edges_exist(graph, src, dst) | (src == dst)
+    _, kd = jax.random.split(key)
+    donor = jax.random.randint(kd, (count,), 0, count, dtype=jnp.int32)
+    first_good = jnp.argmin(bad).astype(jnp.int32)  # 0 if all good/all bad
+    donor = jnp.where(bad[donor], first_good, donor)
+    donor_ok = ~bad[donor]
+    idx = jnp.where(bad & donor_ok, donor, jnp.arange(count, dtype=jnp.int32))
+    return jnp.stack([src[idx], dst[idx]], axis=-1)  # (count, 2)
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples", "num_neg"))

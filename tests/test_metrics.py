@@ -14,8 +14,13 @@ def _np_hits(pos, neg, k):
 
 
 def _np_mrr(pos, neg):
-    # OGB: rank of pos among [pos | negs] sorted descending == 1 + #{neg > pos}
-    rank = 1 + (neg > pos.reshape(-1, 1)).sum(1)
+    # Direct transcription of OGB 1.3.2 _eval_mrr (the oracle called at
+    # reference plnlp/utils.py:63-76): mean of optimistic and pessimistic
+    # rank, +1.
+    pos = pos.reshape(-1, 1)
+    optimistic = (neg > pos).sum(1)
+    pessimistic = (neg >= pos).sum(1)
+    rank = 0.5 * (optimistic + pessimistic) + 1
     return float((1.0 / rank).mean())
 
 
@@ -44,6 +49,28 @@ def test_mrr_hand_case():
     neg = jnp.asarray([[0.5, 2.0, 0.2], [0.2, 0.3, 0.05]])
     # ranks: pos0 beaten by 2.0 -> rank 2; pos1 beaten by 0.2,0.3 -> rank 3
     np.testing.assert_allclose(mrr(pos, neg), (1 / 2 + 1 / 3) / 2, rtol=1e-6)
+
+
+def test_mrr_tie_semantics():
+    # Deliberate pos == neg ties: OGB 1.3.2 averages optimistic and
+    # pessimistic rank. pos=1.0 vs negs [1.0, 1.0, 0.5]:
+    # optimistic #{neg>pos}=0, pessimistic #{neg>=pos}=2 -> rank 2 -> 1/2.
+    pos = jnp.asarray([1.0])
+    neg = jnp.asarray([[1.0, 1.0, 0.5]])
+    np.testing.assert_allclose(mrr(pos, neg), 0.5, atol=1e-9)
+    # All four negs tie: rank = 0.5*(0+4)+1 = 3 -> 1/3.
+    neg = jnp.asarray([[2.0, 2.0, 2.0, 2.0]])
+    np.testing.assert_allclose(mrr(jnp.asarray([2.0]), neg), 1 / 3, atol=1e-9)
+    # Mixed rows against the NumPy transcription.
+    pos_np = np.asarray([0.0, 1.0, -1.0], dtype=np.float32)
+    neg_np = np.asarray(
+        [[0.0, 0.0, 1.0], [1.0, 0.0, 1.0], [-1.0, -1.0, -1.0]], dtype=np.float32
+    )
+    np.testing.assert_allclose(
+        mrr(jnp.asarray(pos_np), jnp.asarray(neg_np)),
+        _np_mrr(pos_np, neg_np),
+        atol=1e-9,
+    )
 
 
 def test_mrr_random(rng):

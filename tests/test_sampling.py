@@ -45,11 +45,30 @@ def test_global_neg_sample_excludes_edges_and_loops(rng):
     a = np.zeros((30, 30), bool)
     e = g.num_edges
     a[np.asarray(g.receivers)[:e], np.asarray(g.senders)[:e]] = True
-    # collision probability after 4 rejection rounds is (E/N²)⁴ ≈ 2e-3 here;
-    # assert the overwhelming majority are true non-edges and no self loops
+    # the final exact-filter pass replaces residual collisions with duplicate
+    # negatives (reference pad semantics) — ZERO true edges / self loops emitted
     collisions = a[flat[:, 1], flat[:, 0]].sum() + (flat[:, 0] == flat[:, 1]).sum()
-    assert collisions <= 2
+    assert collisions == 0
     assert (flat >= 0).all() and (flat < 30).all()
+
+
+def test_global_neg_sample_zero_leakage_at_ddi_density(rng):
+    # ddi is ~11% dense — the regime where fixed-round rejection previously
+    # leaked ~(density)^rounds true edges per batch.  The exact final filter
+    # must emit zero (reference contract: negative_sample.py:6-20 pads with
+    # duplicate negatives, never true edges).
+    n = 200
+    dense = rng.random((n, n)) < 0.12
+    dense |= dense.T
+    np.fill_diagonal(dense, False)
+    src, dst = np.nonzero(dense)
+    g = build_graph(src.astype(np.int32), dst.astype(np.int32), None, num_nodes=n)
+    out = global_neg_sample(jax.random.PRNGKey(7), g, 4096, 3)
+    flat = np.asarray(out).reshape(-1, 2)
+    leaked = dense[flat[:, 1], flat[:, 0]].sum() + (flat[:, 0] == flat[:, 1]).sum()
+    assert leaked == 0
+    # still covers a broad set of pairs (not collapsed onto a few donors)
+    assert len({(int(s), int(d)) for s, d in flat}) > 3000
 
 
 def test_sample_perm_copy_semantics(rng):
