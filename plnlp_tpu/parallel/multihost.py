@@ -4,7 +4,11 @@ The reference is single-process (reference main.py:71-72); scaling across
 hosts here is plain JAX distributed: ``jax.distributed.initialize`` connects
 the processes, after which ``jax.devices()`` spans the whole slice and every
 mesh/shard_map in this package works unchanged (XLA routes collectives over
-ICI within a slice and DCN across slices).
+ICI within a slice and DCN across slices).  Verified by
+``tests/test_multihost.py``: two real OS processes (gloo CPU collectives,
+localhost coordinator) jointly run one jitted data-parallel step over a
+mesh spanning both processes, with a cross-process scalar reduction checked
+against a NumPy oracle.
 
 Typical pod-slice launch (same command on every host):
 

@@ -1,0 +1,80 @@
+"""Worker for the 2-process jax.distributed CPU test (run via subprocess).
+
+Each process owns 2 forced-CPU devices; together they form a 4-device
+'data' mesh spanning both processes.  One jitted data-parallel step runs a
+loss + gradient over a globally-sharded batch — the scalar mean forces a
+cross-process reduction (gloo), proving multihost.init + mesh + sharded step
+compose as `plnlp_tpu.parallel.multihost` claims.
+
+Usage: python multihost_worker.py <process_id> <num_processes> <port>
+"""
+
+import os
+import sys
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+)
+
+import jax
+
+# The axon sitecustomize forces the TPU tunnel platform; the env var alone
+# does not override it — the config update after import does (and the real
+# chip is single-tenant, so two processes MUST NOT touch it).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from plnlp_tpu.parallel.multihost import init, is_multihost, local_device_count
+
+init(coordinator_address=f"localhost:{port}", num_processes=nproc, process_id=pid)
+assert is_multihost(), "expected >1 process after init"
+assert local_device_count() == 2
+assert jax.device_count() == 2 * nproc
+
+mesh = Mesh(np.array(jax.devices()), ("data",))
+
+# Deterministic global problem, identical in every process.
+rng = np.random.default_rng(0)
+B, D = 64, 16
+X = rng.standard_normal((B, D)).astype(np.float32)
+y = rng.standard_normal((B,)).astype(np.float32)
+w = rng.standard_normal((D,)).astype(np.float32)
+
+rows_per_proc = B // nproc
+lo = pid * rows_per_proc
+xg = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data", None)), X[lo : lo + rows_per_proc]
+)
+yg = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")), y[lo : lo + rows_per_proc]
+)
+wg = jax.make_array_from_process_local_data(NamedSharding(mesh, P()), w)
+
+
+@jax.jit
+def step(w, x, y):
+    def loss(w):
+        return jnp.mean((x @ w - y) ** 2)
+
+    l, g = jax.value_and_grad(loss)(w)
+    return l, w - 0.1 * g
+
+
+l, w2 = step(wg, xg, yg)
+
+# NumPy oracle for the same global step.
+resid = X @ w - y
+exp_loss = float((resid**2).mean())
+exp_w2 = w - 0.1 * (2.0 / B) * (X.T @ resid)
+
+np.testing.assert_allclose(float(l), exp_loss, rtol=1e-5)
+got_w2 = np.asarray(list(w2.addressable_shards)[0].data)
+np.testing.assert_allclose(got_w2, exp_w2, rtol=1e-4, atol=1e-5)
+print(f"OK pid={pid} loss={float(l):.6f}")
