@@ -143,6 +143,23 @@ def argument(argv=None):
     parser.add_argument("--reset_optimizer", type=str2bool, default=False,
                         help="re-init optimizer state per run (the reference "
                         "carries Adam moments across runs, model.py:85-96)")
+    # --- multi-chip (no reference counterpart; SURVEY §2c scope) ---
+    parser.add_argument(
+        "--num_shards", type=int, default=0,
+        help="shard the graph (rows + embedding table) over this many "
+        "devices on a 'node' mesh axis; 0/1 = single device",
+    )
+    parser.add_argument(
+        "--mesh_data", type=int, default=1,
+        help="size of the 'data' mesh axis (pair-batch data parallelism); "
+        "num_shards × mesh_data must not exceed the device count",
+    )
+    parser.add_argument(
+        "--partition_comm", type=str, default="all_gather",
+        choices=["all_gather", "halo"],
+        help="per-layer feature exchange: full all-gather or quota-padded "
+        "halo all_to_all of only the boundary rows",
+    )
     return parser.parse_args(argv)
 
 
@@ -292,10 +309,39 @@ def prepare_experiment(args):
     surg = apply_dataset_surgery(ds, args)
     split_edge = surg["split_edge"]
 
+    mesh = None
+    num_shards = getattr(args, "num_shards", 0) or 0
     use_dense = args.adj_backend == "dense" or (
         args.adj_backend == "auto" and num_nodes <= args.dense_threshold
     )
-    if use_dense:
+    if num_shards > 1:
+        # Multi-chip: destination rows + embedding table sharded over the
+        # 'node' mesh axis; the same Model/step code runs unchanged because
+        # GraphParallel is a drop-in aggregation operand (graph_parallel.py).
+        from plnlp_tpu.parallel import make_mesh
+        from plnlp_tpu.parallel.graph_parallel import make_graph_parallel
+
+        mesh = make_mesh(data=getattr(args, "mesh_data", 1), node=num_shards)
+        graph = make_graph_parallel(
+            surg["adj_src"],
+            surg["adj_dst"],
+            surg["adj_weight"],
+            num_nodes=num_nodes,
+            mesh=mesh,
+            block=(args.block_rows, args.block_edges),
+            comm=getattr(args, "partition_comm", "all_gather"),
+        )
+        graph_t = None
+        # Replicated CSR twin for negative-sampler exclusion + random walks
+        # (host-built once; cheap relative to the partitioned structure).
+        sample_graph, _ = prepare_graph(
+            surg["adj_src"],
+            surg["adj_dst"],
+            surg["adj_weight"],
+            num_nodes=num_nodes,
+            block=None,
+        )
+    elif use_dense:
         graph = prepare_dense(
             surg["adj_src"], surg["adj_dst"], surg["adj_weight"], num_nodes=num_nodes
         )
@@ -370,6 +416,7 @@ def prepare_experiment(args):
         "eval_edges": eval_edges,
         "node_feats": None if node_feat is None else jnp.asarray(node_feat),
         "num_nodes": num_nodes,
+        "mesh": mesh,
     }
 
 
@@ -418,11 +465,23 @@ def run_experiment(args, log=print):
         else:
             rw_start = jnp.arange(exp["num_nodes"], dtype=jnp.int32)
 
+    mesh = exp.get("mesh")
+
+    def place_state(params, opt_state):
+        """Multi-chip: emb table + matching optimizer moments sharded
+        P('node', None); everything else replicated on the mesh."""
+        if mesh is None:
+            return params, opt_state
+        from plnlp_tpu.parallel.sharded import shard_state
+
+        return shard_state(model, mesh, params, opt_state)
+
     key = jax.random.PRNGKey(args.seed)
     # Reference quirk: optimizer state is created ONCE and carries across
     # runs (model.py:85-96); --reset_optimizer restores the clean behavior.
     params = model.init_params(jax.random.PRNGKey(args.seed))
     opt_state = model.init_opt_state(params)
+    params, opt_state = place_state(params, opt_state)
     emit(
         f"Total number of model parameters is {model.param_count(params)}"
     )
@@ -449,6 +508,7 @@ def run_experiment(args, log=print):
             params, opt_state, extra = ckpt_mgr.restore(
                 template={"params": params, "opt_state": opt_state}
             )
+            params, opt_state = place_state(params, opt_state)
             if extra:
                 start_run = int(extra.get("run", 0))
                 start_epoch = int(extra.get("epoch", 0)) + 1
@@ -463,6 +523,7 @@ def run_experiment(args, log=print):
             params = model.init_params(k_init)
             if args.reset_optimizer:
                 opt_state = model.init_opt_state(params)
+            params, opt_state = place_state(params, opt_state)
         first_epoch = start_epoch if run == start_run else 1
         cur_lr = (
             adjust_lr(args.lr, (first_epoch - 1) / args.epochs)
@@ -507,6 +568,7 @@ def run_experiment(args, log=print):
                 lr=cur_lr,
                 epoch_seconds=epoch_s,
                 agg_edges_per_sec=meter.last_edges_per_sec,
+                useful_agg_edges_per_sec=meter.last_useful_edges_per_sec,
                 pairs_per_sec=meter.last_pairs_per_sec,
             )
             if epoch % args.eval_steps == 0:
