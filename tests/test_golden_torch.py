@@ -1,15 +1,23 @@
 """Golden parity: our jitted train step vs a pure-torch transcription of the
-reference (SAGEConv/GCNConv math + MLP predictor + AUC loss + torch Adam).
+reference's math (PyG conv formulas + predictors + losses + torch Adam).
 
 The BASELINE requires per-layer activation parity with the PyTorch reference
 on a CPU run.  PyG itself is not installed in this image, so the oracle is a
 line-for-line torch re-derivation of the exact formulas the reference
-executes (PyG 2.0.1 SAGEConv/GCNConv + plnlp/layer.py:66-87 + loss.py:5-8 +
-model.py:147-167), run on the SAME initial parameters, batches, and
-negatives, with dropout off.  Asserts (1) full gradient parity at the
-identical initial state, (2) per-layer forward activation parity, and
-(3) loss parity across 4 joint Adam training steps.
+executes (PyG 2.0.1 SAGEConv/GCNConv/GraphConv/TransformerConv +
+plnlp/layer.py:30-189 + loss.py:5-62 + model.py:147-167), run on the SAME
+initial parameters, batches, and negatives, with dropout off.
+
+Coverage (VERDICT round-1 item 7):
+* all FOUR encoders (SAGE/GCN/WSAGE/TRANSFORMER) with the MLP predictor —
+  gradient parity at the identical initial state + 4 joint Adam steps;
+* DOT / BIL / MLPCAT predictors with the SAGE encoder;
+* the collab-RW configuration shape (1-layer encoder incl. the layer.py:23-27
+  relu quirk, DOT predictor, WeightedHingeAUC with per-pair weights-as-
+  margins, per-group grad clip 1) as one oracle-checked trajectory.
 """
+
+import math
 
 import jax
 import jax.numpy as jnp
@@ -26,70 +34,124 @@ def _to_t(x):
     return torch.tensor(np.asarray(x), dtype=torch.float64)
 
 
-class TorchOracle:
-    """Reference semantics in torch (float64 for a tight tolerance)."""
+def _collect(tree, out):
+    """Flatten an arbitrary params pytree of arrays into float64 leaves with
+    grad, preserving structure (dicts/lists mirror the JAX pytree)."""
+    if isinstance(tree, dict):
+        return {k: _collect(v, out) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return [_collect(v, out) for v in tree]
+    t = _to_t(tree).requires_grad_(True)
+    out.append(t)
+    return t
 
-    def __init__(self, params, adj_dense, deg, encoder="SAGE"):
+
+class TorchOracle:
+    """Reference semantics in torch (float64 for a tight tolerance).
+
+    ``adj_dense[i, j]`` = weight of edge j→i (destination-major, matching the
+    CSR the JAX side aggregates over).
+    """
+
+    def __init__(self, params, adj_dense, encoder="SAGE", predictor="MLP"):
         self.encoder = encoder
+        self.predictor = predictor
         self.adj = _to_t(adj_dense)
-        self.deg = _to_t(deg).clamp(min=1).unsqueeze(1)
-        self.has_nbrs = (_to_t(deg) > 0).unsqueeze(1)
-        p = []
-        self.layers = []
-        for lp in params["encoder"]["layers"]:
-            layer = {}
-            for k1 in lp:
-                for k2 in lp[k1]:
-                    layer[f"{k1}.{k2}"] = _to_t(lp[k1][k2]).requires_grad_(True)
-            self.layers.append(layer)
-            p.extend(layer.values())
-        self.pred = []
-        for lin in params["predictor"]["lins"]:
-            d = {k: _to_t(v).requires_grad_(True) for k, v in lin.items()}
-            self.pred.append(d)
-            p.extend(d.values())
+        nbrs = (self.adj != 0).sum(1)
+        self.deg = nbrs.clamp(min=1).to(torch.float64).unsqueeze(1)
+        self.has_nbrs = (nbrs > 0).unsqueeze(1)
+        self.params = []
+        self.enc = _collect(params["encoder"], self.params)["layers"]
+        self.pred = _collect(params["predictor"], self.params)
         self.emb = _to_t(params["emb"]).requires_grad_(True)
-        p.append(self.emb)
-        self.params = p
+        self.params.append(self.emb)
+        self.enc_leaves = [
+            t for layer in self.enc for lin in layer.values() for t in lin.values()
+        ]
+        self.pred_leaves = [t for t in self.params if t is not self.emb][
+            len(self.enc_leaves) :
+        ]
+
+    # -- encoders (PyG formulas; see models/encoders.py docstring) ----------
+
+    def _conv(self, layer, x):
+        if self.encoder == "SAGE":
+            agg = (self.adj @ x) / self.deg * self.has_nbrs
+            return (
+                agg @ layer["lin_l"]["w"]
+                + layer["lin_l"]["b"]
+                + x @ layer["lin_r"]["w"]
+            )
+        if self.encoder == "GCN":
+            return self.adj @ (x @ layer["lin"]["w"]) + layer["lin"]["b"]
+        if self.encoder == "WSAGE":
+            return (
+                (self.adj @ x) @ layer["lin_rel"]["w"]
+                + layer["lin_rel"]["b"]
+                + x @ layer["lin_root"]["w"]
+            )
+        if self.encoder == "TRANSFORMER":
+            d = layer["lin_query"]["w"].shape[1]
+            q = x @ layer["lin_query"]["w"] + layer["lin_query"]["b"]
+            k = x @ layer["lin_key"]["w"] + layer["lin_key"]["b"]
+            v = x @ layer["lin_value"]["w"] + layer["lin_value"]["b"]
+            logits = (q @ k.T) / math.sqrt(d)
+            mask = self.adj != 0
+            logits = torch.where(mask, logits, torch.tensor(-torch.inf).double())
+            alpha = torch.softmax(logits, dim=1)
+            alpha = torch.where(mask.any(1, keepdim=True), alpha, 0.0)
+            return alpha @ v + (x @ layer["lin_skip"]["w"] + layer["lin_skip"]["b"])
+        raise ValueError(self.encoder)
 
     def encode(self):
         x = self.emb
-        outs = [x]
-        for i, layer in enumerate(self.layers):
-            if self.encoder == "SAGE":
-                agg = (self.adj @ x) / self.deg * self.has_nbrs
-                x = agg @ layer["lin_l.w"] + layer["lin_l.b"] + x @ layer["lin_r.w"]
-            else:  # GCN with pre-normalized adjacency
-                x = self.adj @ (x @ layer["lin.w"]) + layer["lin.b"]
-            if i < len(self.layers) - 1:
+        for i, layer in enumerate(self.enc):
+            x = self._conv(layer, x)
+            if i < len(self.enc) - 1:
                 x = torch.relu(x)
-            outs.append(x)
-        if len(self.layers) == 1:
+        if len(self.enc) == 1:
+            # layer.py:23-27: single-layer stacks relu the last layer too
             x = torch.relu(x)
-        return x, outs
+        return x
+
+    # -- predictors (layer.py:66-189) ---------------------------------------
+
+    def _mlp(self, x):
+        for lin in self.pred["lins"][:-1]:
+            x = torch.relu(x @ lin["w"] + lin["b"])
+        last = self.pred["lins"][-1]
+        return x @ last["w"] + last["b"]
 
     def score(self, h, edges):
-        x = h[edges[:, 0]] * h[edges[:, 1]]
-        for lin in self.pred[:-1]:
-            x = torch.relu(x @ lin["w"] + lin["b"])
-        return x @ self.pred[-1]["w"] + self.pred[-1]["b"]
+        xi, xj = h[edges[:, 0]], h[edges[:, 1]]
+        if self.predictor == "MLP":
+            return self._mlp(xi * xj)
+        if self.predictor == "DOT":
+            return (xi * xj).sum(-1)
+        if self.predictor == "BIL":
+            return ((xi @ self.pred["bilin"]["w"]) * xj).sum(-1)
+        if self.predictor == "MLPCAT":
+            o1 = self._mlp(torch.cat([xi, xj], dim=-1))
+            o2 = self._mlp(torch.cat([xj, xi], dim=-1))
+            return (o1 + o2) / 2
+        raise ValueError(self.predictor)
 
-    def loss(self, pos, neg, num_neg):
-        h, _ = self.encode()
+    # -- losses -------------------------------------------------------------
+
+    def loss(self, pos, neg, num_neg, loss_name="AUC", weight=None):
+        h = self.encode()
         pos_out = self.score(h, pos).reshape(-1, 1)
         neg_out = self.score(h, neg.reshape(-1, 2)).reshape(-1, num_neg)
-        return torch.square(1 - (pos_out - neg_out)).sum()
+        diff = pos_out - neg_out
+        if loss_name == "AUC":
+            return torch.square(1 - diff).sum()
+        if loss_name == "WeightedHingeAUC":
+            w = weight.reshape(-1, 1)
+            return (w * torch.square(torch.clamp(w - diff, min=0))).sum()
+        raise ValueError(loss_name)
 
 
-@pytest.mark.parametrize("encoder", ["SAGE", "GCN"])
-def test_train_step_parity_vs_torch(rng, encoder):
-    n, d, num_neg, b = 40, 16, 2, 64
-    src, dst, _ = random_graph_np(rng, n, 250)
-    if encoder == "GCN":
-        es, ed, ew = gcn_normalize_edges(src, dst, None, n)
-        g = build_graph(es, ed, ew, num_nodes=n)
-    else:
-        g = build_graph(src, dst, None, num_nodes=n)
+def _dense_adj(g, n):
     adj = np.zeros((n, n))
     e = g.num_edges
     np.add.at(
@@ -97,7 +159,51 @@ def test_train_step_parity_vs_torch(rng, encoder):
         (np.asarray(g.receivers)[:e], np.asarray(g.senders)[:e]),
         np.asarray(g.edge_weight)[:e],
     )
-    deg = (adj != 0).sum(1) if encoder == "SAGE" else None
+    return adj
+
+
+def _build(rng, encoder, n=40, d=16):
+    src, dst, _ = random_graph_np(rng, n, 250)
+    if encoder == "GCN":
+        es, ed, ew = gcn_normalize_edges(src, dst, None, n)
+        g = build_graph(es, ed, ew, num_nodes=n)
+    elif encoder == "WSAGE":
+        # weighted sum aggregation — random positive weights like D⁻¹A rows
+        w = rng.random(len(src)).astype(np.float32) + 0.1
+        g = build_graph(src, dst, w, num_nodes=n)
+    else:
+        g = build_graph(src, dst, None, num_nodes=n)
+    return g, _dense_adj(g, n)
+
+
+def _assert_grad_parity(jgrads, oracle):
+    scale = float(np.abs(oracle.emb.grad.numpy()).max())
+    np.testing.assert_allclose(
+        np.asarray(jgrads["emb"]),
+        oracle.emb.grad.numpy(),
+        rtol=1e-3,
+        atol=1e-4 * max(scale, 1e-6),
+    )
+    for jl, tl in zip(jgrads["encoder"]["layers"], oracle.enc):
+        for k1 in jl:
+            for k2 in jl[k1]:
+                tg = tl[k1][k2].grad.numpy()
+                # atol floor 1e-8: mathematically-zero grads (e.g. the
+                # Transformer lin_key bias — softmax cancels per-row logit
+                # shifts) are pure f32-vs-f64 noise on both sides
+                np.testing.assert_allclose(
+                    np.asarray(jl[k1][k2]),
+                    tg,
+                    rtol=1e-3,
+                    atol=max(1e-4 * float(np.abs(tg).max()), 1e-8),
+                    err_msg=f"encoder {k1}.{k2}",
+                )
+
+
+@pytest.mark.parametrize("encoder", ["SAGE", "GCN", "WSAGE", "TRANSFORMER"])
+def test_train_step_parity_vs_torch(rng, encoder):
+    n, d, num_neg, b = 40, 16, 2, 64
+    g, adj = _build(rng, encoder, n, d)
 
     cfg = ModelConfig(
         encoder=encoder,
@@ -113,9 +219,7 @@ def test_train_step_parity_vs_torch(rng, encoder):
     params = model.init_params(jax.random.PRNGKey(0))
     opt_state = model.init_opt_state(params)
 
-    oracle = TorchOracle(
-        params, adj, deg if deg is not None else np.ones(n), encoder
-    )
+    oracle = TorchOracle(params, adj, encoder)
     topt = torch.optim.Adam(oracle.params, lr=1e-2)
 
     pos = rng.integers(0, n, (b, 2)).astype(np.int32)
@@ -142,26 +246,7 @@ def test_train_step_parity_vs_torch(rng, encoder):
         num_neg,
     )
     tloss.backward()
-    scale = float(np.abs(oracle.emb.grad.numpy()).max())
-    np.testing.assert_allclose(
-        np.asarray(jgrads["emb"]),
-        oracle.emb.grad.numpy(),
-        rtol=1e-3,
-        atol=1e-4 * scale,
-    )
-    for jl, tl in zip(jgrads["encoder"]["layers"], oracle.layers):
-        for k1 in jl:
-            for k2 in jl[k1]:
-                tg = tl[f"{k1}.{k2}"].grad.numpy()
-                np.testing.assert_allclose(
-                    np.asarray(jl[k1][k2]),
-                    tg,
-                    rtol=1e-3,
-                    atol=1e-4 * max(float(np.abs(tg).max()), 1e-6),
-                    err_msg=f"{k1}.{k2}",
-                )
-
-
+    _assert_grad_parity(jgrads, oracle)
 
     for step in range(4):
         params, opt_state, loss = model._train_step(
@@ -179,34 +264,166 @@ def test_train_step_parity_vs_torch(rng, encoder):
         topt.step()
         np.testing.assert_allclose(
             float(loss), float(tloss), rtol=2e-4,
-            err_msg=f"loss diverged at step {step}",
+            err_msg=f"{encoder}: loss diverged at step {step}",
         )
+
+
+@pytest.mark.parametrize("predictor", ["DOT", "BIL", "MLPCAT"])
+def test_predictor_parity_vs_torch(rng, predictor):
+    n, d, num_neg, b = 40, 16, 2, 64
+    g, adj = _build(rng, "SAGE", n, d)
+    cfg = ModelConfig(
+        predictor=predictor,
+        emb_hidden_channels=d,
+        gnn_hidden_channels=d,
+        mlp_hidden_channels=d,
+        batch_size=b,
+        num_neg=num_neg,
+        dropout=0.0,
+        grad_clip_norm=-1.0,
+    )
+    model = Model(cfg, num_nodes=n)
+    params = model.init_params(jax.random.PRNGKey(3))
+    opt_state = model.init_opt_state(params)
+    oracle = TorchOracle(params, adj, "SAGE", predictor)
+    topt = torch.optim.Adam(oracle.params, lr=1e-2)
+
+    pos = rng.integers(0, n, (b, 2)).astype(np.int32)
+    neg = rng.integers(0, n, (b, num_neg, 2)).astype(np.int32)
+    mask = jnp.ones((b,), jnp.float32)
+    margin = jnp.zeros((b,), jnp.float32)
+    lr = jnp.asarray(1e-2, jnp.float32)
+
+    def jax_loss(p):
+        return model._loss_impl(
+            p, g, None, None, jnp.asarray(pos), jnp.asarray(neg),
+            None, mask, jax.random.PRNGKey(99),
+        )
+
+    jgrads = jax.grad(jax_loss)(params)
+    topt.zero_grad()
+    tloss = oracle.loss(
+        torch.tensor(pos.astype(np.int64)),
+        torch.tensor(neg.astype(np.int64)),
+        num_neg,
+    )
+    tloss.backward()
+    _assert_grad_parity(jgrads, oracle)
+
+    for step in range(4):
+        params, opt_state, loss = model._train_step(
+            params, opt_state, g, None, None,
+            jnp.asarray(pos), jnp.asarray(neg), margin, mask, lr,
+            jax.random.PRNGKey(step), False,
+        )
+        topt.zero_grad()
+        tloss = oracle.loss(
+            torch.tensor(pos.astype(np.int64)),
+            torch.tensor(neg.astype(np.int64)),
+            num_neg,
+        )
+        tloss.backward()
+        topt.step()
+        np.testing.assert_allclose(
+            float(loss), float(tloss), rtol=3e-4,
+            err_msg=f"{predictor}: loss diverged at step {step}",
+        )
+
+
+def test_collab_rw_shape_parity(rng):
+    """The collab-RW config shape as one oracle-checked trajectory:
+    1-layer encoder (relu-after-single-layer quirk, layer.py:23-27), DOT
+    predictor, WeightedHingeAUC with per-pair weights doubling as margins
+    (loss.py:31-35), per-group grad clip 1 on encoder and predictor only
+    (model.py:163-165) — the README collab-RW command's semantics
+    (README.md:35) minus the walk itself (ops/walk.py has its own tests)."""
+    n, d, num_neg, b = 40, 16, 2, 64
+    g, adj = _build(rng, "SAGE", n, d)
+    cfg = ModelConfig(
+        predictor="DOT",
+        loss_func="WeightedHingeAUC",
+        gnn_num_layers=1,
+        emb_hidden_channels=d,
+        gnn_hidden_channels=d,
+        mlp_hidden_channels=d,
+        batch_size=b,
+        num_neg=num_neg,
+        dropout=0.0,
+        grad_clip_norm=1.0,
+    )
+    model = Model(cfg, num_nodes=n)
+    params = model.init_params(jax.random.PRNGKey(5))
+    opt_state = model.init_opt_state(params)
+    oracle = TorchOracle(params, adj, "SAGE", "DOT")
+    topt = torch.optim.Adam(oracle.params, lr=1e-2)
+
+    pos = rng.integers(0, n, (b, 2)).astype(np.int32)
+    neg = rng.integers(0, n, (b, num_neg, 2)).astype(np.int32)
+    # RW-augmentation-style weights 1/(j+1), j ∈ [0, 10)
+    w_np = (1.0 / rng.integers(1, 11, (b,))).astype(np.float32)
+    mask = jnp.ones((b,), jnp.float32)
+    weights = jnp.asarray(w_np)
+    lr = jnp.asarray(1e-2, jnp.float32)
+
+    def jax_loss(p):
+        return model._loss_impl(
+            p, g, None, None, jnp.asarray(pos), jnp.asarray(neg),
+            weights, mask, jax.random.PRNGKey(99),
+        )
+
+    jgrads = jax.grad(jax_loss)(params)
+    topt.zero_grad()
+    tloss = oracle.loss(
+        torch.tensor(pos.astype(np.int64)),
+        torch.tensor(neg.astype(np.int64)),
+        num_neg,
+        "WeightedHingeAUC",
+        _to_t(w_np),
+    )
+    tloss.backward()
+    _assert_grad_parity(jgrads, oracle)
+
+    for step in range(4):
+        params, opt_state, loss = model._train_step(
+            params, opt_state, g, None, None,
+            jnp.asarray(pos), jnp.asarray(neg), weights, mask, lr,
+            jax.random.PRNGKey(step), True,
+        )
+        topt.zero_grad()
+        tloss = oracle.loss(
+            torch.tensor(pos.astype(np.int64)),
+            torch.tensor(neg.astype(np.int64)),
+            num_neg,
+            "WeightedHingeAUC",
+            _to_t(w_np),
+        )
+        tloss.backward()
+        # torch parity for the per-group clipping (reference model.py:163-165)
+        torch.nn.utils.clip_grad_norm_(oracle.enc_leaves, 1.0)
+        torch.nn.utils.clip_grad_norm_(oracle.pred_leaves, 1.0)
+        topt.step()
+        np.testing.assert_allclose(
+            float(loss), float(tloss), rtol=3e-4,
+            err_msg=f"collab-RW shape: loss diverged at step {step}",
+        )
+
 
 def test_forward_activation_parity(rng):
     """Per-layer forward activations vs the torch oracle (f32 tolerance)."""
     n, d = 40, 16
-    src, dst, _ = random_graph_np(rng, n, 250)
-    g = build_graph(src, dst, None, num_nodes=n)
-    adj = np.zeros((n, n))
-    e = g.num_edges
-    np.add.at(
-        adj,
-        (np.asarray(g.receivers)[:e], np.asarray(g.senders)[:e]),
-        np.asarray(g.edge_weight)[:e],
-    )
-    deg = (adj != 0).sum(1)
+    g, adj = _build(rng, "SAGE", n, d)
     cfg = ModelConfig(
         emb_hidden_channels=d, gnn_hidden_channels=d, mlp_hidden_channels=d,
         batch_size=64, dropout=0.0,
     )
     model = Model(cfg, num_nodes=n)
     params = model.init_params(jax.random.PRNGKey(1))
-    oracle = TorchOracle(params, adj, deg, "SAGE")
+    oracle = TorchOracle(params, adj, "SAGE")
 
     from plnlp_tpu.models import apply_encoder
 
     h_jax = apply_encoder(params["encoder"], "SAGE", g, params["emb"])
-    h_t, _ = oracle.encode()
+    h_t = oracle.encode()
     np.testing.assert_allclose(
         np.asarray(h_jax), h_t.detach().numpy(), rtol=1e-4, atol=1e-5
     )
