@@ -220,27 +220,36 @@ def partitioned_spmm(
     return y[: pg.num_nodes]
 
 
-def partitioned_transformer_conv(gp: GraphParallel, lp, x: jnp.ndarray):
-    """One TransformerConv layer over a partitioned graph.
+def _blocked_rowsum(w, bl, brb, R, n_rowblocks):
+    """Per-local-row sums of per-edge scalars via the one-hot matmul trick
+    (no feature-dim scatter; one tiny segment-sum over row-blocks)."""
+    onehot = (
+        bl[..., None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
+    ).astype(w.dtype)
+    per_blk = jnp.einsum("nb,nbr->nr", w, onehot)
+    out = jax.ops.segment_sum(
+        per_blk, brb, num_segments=n_rowblocks, indices_are_sorted=True
+    )
+    return out.reshape(-1)  # (n_rowblocks * R,)
+
+
+def _ptc_fwd_impl(pg: PartitionedGraph, lp, x, mesh):
+    """Shard_map forward for TransformerConv; returns (out, alpha).
 
     Because edges are destination-sharded, the per-destination softmax
     segments are entirely shard-local: each shard computes its own edges'
-    attention logits (q from local rows, k/v from the all-gathered features),
-    normalizes over its local destinations, and reuses the blocked
-    scatter-matmul with the attention weights as the runtime edge weights.
-    Backward runs through XLA autodiff (no custom VJP yet — correctness
-    path; see TODO_ROUND2.md).
+    attention logits (q from local rows, k/v from the all-gathered
+    features), normalizes over its local destinations, and reuses the
+    blocked scatter-matmul with the attention weights as the runtime edge
+    weights (single-device semantics: reference plnlp/layer.py:57-63).
     """
     import math as _math
 
     from plnlp_tpu.nn import linear
 
-    pg = gp.pg
     R = pg.block_rows
     rows = pg.rows_per_shard
     d = lp["lin_query"]["w"].shape[1]
-    if x.shape[0] < pg.padded_nodes:
-        x = jnp.pad(x, ((0, pg.padded_nodes - x.shape[0]), (0, 0)))
 
     def body(x_blk, bs, bw, bl, brb):
         x_full = jax.lax.all_gather(x_blk, "node", axis=0, tiled=True)
@@ -266,11 +275,11 @@ def partitioned_transformer_conv(gp: GraphParallel, lp, x: jnp.ndarray):
         denom = jnp.maximum(seg_sum, jnp.finfo(jnp.float32).tiny)
         alpha = (ex / denom[flat_dst]).reshape(bw0.shape).astype(jnp.float32)
         agg = blocked_sum_arrays(v, bs0, alpha, bl0, brb0, R, rows)
-        return agg + linear(lp["lin_skip"], x_blk)
+        return agg + linear(lp["lin_skip"], x_blk), alpha[None]
 
-    out = jax.shard_map(
+    return jax.shard_map(
         body,
-        mesh=gp.mesh,
+        mesh=mesh,
         in_specs=(
             P("node", None),
             P("node", None, None),
@@ -278,6 +287,189 @@ def partitioned_transformer_conv(gp: GraphParallel, lp, x: jnp.ndarray):
             P("node", None, None),
             P("node", None),
         ),
-        out_specs=P("node", None),
+        out_specs=(P("node", None), P("node", None, None)),
     )(x, pg.fwd_blk_src, pg.fwd_blk_weight, pg.fwd_blk_local, pg.fwd_blk_rowblock)
+
+
+def _ptc_bwd_impl(pg: PartitionedGraph, lp, x, alpha, g, mesh):
+    """Hand-written TransformerConv backward — all irregular work runs as
+    blocked scatter-matmuls over the fwd (dst-sharded) and bwd (src-sharded)
+    structures; NO feature-dimension XLA scatter anywhere.
+
+    Math per shard (dst rows owned in fwd structure, src rows in bwd):
+        dagg      = g (local dst rows)
+        dα_e      = v[src_e] · dagg[dst_e]                 (fwd-layout SDDMM)
+        dlogit_e  = α_e (dα_e − Σ_{e'∈row(dst_e)} α dα)    (softmax Jacobian;
+                    row sums via the one-hot matmul trick, no scatter)
+        dq[dst]   = Σ_e (dlogit_e/√d) k[src_e]      (blocked over fwd struct)
+        dk[src]   = Σ_e (dlogit_e/√d) q[dst_e]      (blocked over bwd struct)
+        dv[src]   = Σ_e α_e dagg[dst_e]             (blocked over bwd struct)
+    Per-edge scalars (α, dlogit) cross from fwd to bwd layout with one
+    all_gather + the precomputed bwd_gather_fwd slot map.  Parameter
+    gradients are per-shard partials psum'ed over 'node'; dx lands
+    pre-sharded (skip/q contributions from local rows, k/v from owned rows).
+    """
+    import math as _math
+
+    R = pg.block_rows
+    rows = pg.rows_per_shard
+    n_rb = rows // R
+    d = lp["lin_query"]["w"].shape[1]
+    inv_sqrt_d = 1.0 / _math.sqrt(d)
+    cdt = x.dtype
+
+    def body(x_blk, g_blk, a_blk, bs, bw, bl, brb, nbs, nbw, nbl, nbrb, nmap):
+        wq, bq = lp["lin_query"]["w"].astype(cdt), lp["lin_query"]["b"].astype(cdt)
+        wk, bk = lp["lin_key"]["w"].astype(cdt), lp["lin_key"]["b"].astype(cdt)
+        wv, bv = lp["lin_value"]["w"].astype(cdt), lp["lin_value"]["b"].astype(cdt)
+        ws = lp["lin_skip"]["w"].astype(cdt)
+
+        x_full = jax.lax.all_gather(x_blk, "node", axis=0, tiled=True)
+        g_full = jax.lax.all_gather(g_blk, "node", axis=0, tiled=True)
+        a_full = jax.lax.all_gather(a_blk, "node", axis=0, tiled=True)
+        a_flat = a_full.reshape(-1)  # (S*nblk_f*B,)
+
+        q_blk = jnp.dot(x_blk, wq, preferred_element_type=cdt) + bq
+        q_full = jnp.dot(x_full, wq, preferred_element_type=cdt) + bq
+        k_full = jnp.dot(x_full, wk, preferred_element_type=cdt) + bk
+        v_full = jnp.dot(x_full, wv, preferred_element_type=cdt) + bv
+
+        bs0, bw0, bl0, brb0 = bs[0], bw[0], bl[0], brb[0]
+        alpha = a_blk[0]
+        valid = (bw0 != 0).astype(jnp.float32)
+        dst_local = brb0[:, None] * R + bl0
+
+        # dα then the softmax Jacobian (row sums without scatter)
+        dalpha = (
+            jnp.sum(
+                g_blk[dst_local].astype(jnp.float32)
+                * v_full[bs0].astype(jnp.float32),
+                axis=-1,
+            )
+            * valid
+        )
+        row_s = _blocked_rowsum(alpha * dalpha, bl0, brb0, R, n_rb)
+        dlogit = alpha * (dalpha - row_s[dst_local]) * valid
+
+        # dq over the fwd structure (k gathered by global src)
+        dq_rows = blocked_sum_arrays(
+            k_full, bs0, dlogit * inv_sqrt_d, bl0, brb0, R, rows
+        ).astype(cdt)
+
+        # per-edge scalars to bwd layout: one scalar all_gather + slot map
+        dlog_full = jax.lax.all_gather(
+            dlogit[None], "node", axis=0, tiled=True
+        ).reshape(-1)
+        nbs0, nbw0, nbl0, nbrb0, nmap0 = nbs[0], nbw[0], nbl[0], nbrb[0], nmap[0]
+        nvalid = (nbw0 != 0).astype(jnp.float32)
+        dlog_bwd = dlog_full[nmap0] * nvalid
+        alpha_bwd = a_flat[nmap0] * nvalid
+
+        # dk / dv over the bwd (src-sharded) structure
+        dk_rows = blocked_sum_arrays(
+            q_full, nbs0, dlog_bwd * inv_sqrt_d, nbl0, nbrb0, R, rows
+        ).astype(cdt)
+        dv_rows = blocked_sum_arrays(
+            g_full, nbs0, alpha_bwd, nbl0, nbrb0, R, rows
+        ).astype(cdt)
+
+        # parameter gradients: per-shard partials, psum'ed to replicated
+        f32 = jnp.float32
+
+        def wgrad(xl, dy):
+            return jax.lax.psum(
+                jnp.dot(xl.T, dy, preferred_element_type=f32), "node"
+            )
+
+        def bgrad(dy):
+            return jax.lax.psum(jnp.sum(dy.astype(f32), axis=0), "node")
+
+        dlp = {
+            "lin_query": {"w": wgrad(x_blk, dq_rows), "b": bgrad(dq_rows)},
+            "lin_key": {"w": wgrad(x_blk, dk_rows), "b": bgrad(dk_rows)},
+            "lin_value": {"w": wgrad(x_blk, dv_rows), "b": bgrad(dv_rows)},
+            "lin_skip": {"w": wgrad(x_blk, g_blk), "b": bgrad(g_blk)},
+        }
+
+        dx_blk = (
+            jnp.dot(g_blk, ws.T, preferred_element_type=cdt)
+            + jnp.dot(dq_rows, wq.T, preferred_element_type=cdt)
+            + jnp.dot(dk_rows, wk.T, preferred_element_type=cdt)
+            + jnp.dot(dv_rows, wv.T, preferred_element_type=cdt)
+        )
+        return dx_blk, dlp
+
+    dlp_spec = {
+        k: {"w": P(), "b": P()}
+        for k in ("lin_query", "lin_key", "lin_value", "lin_skip")
+    }
+    dx, dlp = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("node", None),
+            P("node", None),
+            P("node", None, None),
+            P("node", None, None),
+            P("node", None, None),
+            P("node", None, None),
+            P("node", None),
+            P("node", None, None),
+            P("node", None, None),
+            P("node", None, None),
+            P("node", None),
+            P("node", None, None),
+        ),
+        out_specs=(P("node", None), dlp_spec),
+    )(
+        x,
+        g,
+        alpha,
+        pg.fwd_blk_src,
+        pg.fwd_blk_weight,
+        pg.fwd_blk_local,
+        pg.fwd_blk_rowblock,
+        pg.bwd_blk_src,
+        pg.bwd_blk_weight,
+        pg.bwd_blk_local,
+        pg.bwd_blk_rowblock,
+        pg.bwd_gather_fwd,
+    )
+    # cotangents must match primal param dtypes (f32 master weights)
+    dlp = jax.tree_util.tree_map(
+        lambda gr, p: gr.astype(p.dtype), dlp, {k: lp[k] for k in dlp}
+    )
+    return dx, dlp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ptc(pg: PartitionedGraph, lp, x, mesh):
+    return _ptc_fwd_impl(pg, lp, x, mesh)[0]
+
+
+def _ptc_fwd(pg, lp, x, mesh):
+    out, alpha = _ptc_fwd_impl(pg, lp, x, mesh)
+    return out, (pg, lp, x, alpha)
+
+
+def _ptc_bwd(mesh, res, g):
+    pg, lp, x, alpha = res
+    dx, dlp = _ptc_bwd_impl(pg, lp, x, alpha, g, mesh)
+    dlp_full = {k: dlp.get(k, jax.tree_util.tree_map(_zero_cot, v)) for k, v in lp.items()}
+    return (jax.tree_util.tree_map(_zero_cot, pg), dlp_full, dx)
+
+
+_ptc.defvjp(_ptc_fwd, _ptc_bwd)
+
+
+def partitioned_transformer_conv(gp: GraphParallel, lp, x: jnp.ndarray):
+    """One TransformerConv layer over a partitioned graph, with a
+    hand-written backward mirroring the blocked-SpMM VJP structure
+    (transposed blocked scatter-matmuls + edge-softmax Jacobian) instead of
+    XLA autodiff gathers/scatters.  Grad parity vs the single-device path is
+    asserted in tests/test_graph_parallel.py on 2/4/8 shards."""
+    pg = gp.pg
+    if x.shape[0] < pg.padded_nodes:
+        x = jnp.pad(x, ((0, pg.padded_nodes - x.shape[0]), (0, 0)))
+    out = _ptc(pg, lp, x, gp.mesh)
     return out[: pg.num_nodes]

@@ -40,6 +40,7 @@ __all__ = ["PartitionedGraph", "partition_graph", "with_halo"]
         "bwd_blk_weight",
         "bwd_blk_local",
         "bwd_blk_rowblock",
+        "bwd_gather_fwd",
         "local_in_degrees",
         "fwd_send_idx",
         "fwd_halo_src",
@@ -66,6 +67,13 @@ class PartitionedGraph:
     bwd_blk_weight: jnp.ndarray
     bwd_blk_local: jnp.ndarray  # src-local offsets
     bwd_blk_rowblock: jnp.ndarray
+    # For each bwd edge slot: the flat index (into the (S·nblk_f·B,)
+    # concatenation of every shard's fwd slots) of the SAME edge — lets
+    # RUNTIME per-edge values computed in fwd layout (attention weights,
+    # softmax-jacobian terms) be re-laid into bwd layout with one gather
+    # after an all_gather.  Padding slots point at 0 and are masked by
+    # bwd_blk_weight == 0.
+    bwd_gather_fwd: jnp.ndarray  # (S, nblk_b, B) int32
     local_in_degrees: jnp.ndarray  # (S, rows_per_shard) int32 (unweighted)
     num_nodes: int
     num_shards: int
@@ -177,6 +185,41 @@ def _shard_blocks(
     }
 
 
+def _bwd_gather_fwd_np(fwd, bwd, num_shards, rows_per_shard, R):
+    """Flat fwd-slot index of each bwd slot's edge (host-side, vectorized).
+
+    Both structures hold exactly the real edge set once; matching the two
+    key-sorted slot lists element-wise pairs every bwd slot with the fwd slot
+    of the same (src, dst) edge — stable even with duplicate edges (the key
+    multisets are identical, so the k-th duplicate maps to the k-th)."""
+    S, nf, B = fwd["blk_src"].shape
+    nb = bwd["blk_src"].shape[1]
+    stride = np.int64(S) * rows_per_shard
+    shard = np.arange(S, dtype=np.int64)[:, None, None]
+
+    f_dst = shard * rows_per_shard + fwd["blk_rowblock"][:, :, None].astype(
+        np.int64
+    ) * R + fwd["blk_local"].astype(np.int64)
+    keys_f = f_dst * stride + fwd["blk_src"].astype(np.int64)
+    valid_f = fwd["blk_weight"].reshape(-1) != 0
+    kf = keys_f.reshape(-1)[valid_f]
+    ff = np.arange(S * nf * B, dtype=np.int64)[valid_f]
+
+    b_src = shard * rows_per_shard + bwd["blk_rowblock"][:, :, None].astype(
+        np.int64
+    ) * R + bwd["blk_local"].astype(np.int64)
+    keys_b = bwd["blk_src"].astype(np.int64) * stride + b_src
+    valid_b = bwd["blk_weight"].reshape(-1) != 0
+    kb = keys_b.reshape(-1)[valid_b]
+    assert kf.shape == kb.shape, "fwd/bwd edge counts diverged"
+
+    out = np.zeros(S * nb * B, np.int64)
+    out[np.nonzero(valid_b)[0][np.argsort(kb, kind="stable")]] = ff[
+        np.argsort(kf, kind="stable")
+    ]
+    return out.reshape(S, nb, B).astype(np.int32)
+
+
 def partition_graph(
     src,
     dst,
@@ -201,6 +244,7 @@ def partition_graph(
     fwd = _shard_blocks(es, ed, ew, num_shards, rows_per_shard, R, B)
     # backward: same edges, grouped by SOURCE shard (dst becomes the "src")
     bwd = _shard_blocks(ed, es, ew, num_shards, rows_per_shard, R, B)
+    bwd_map = _bwd_gather_fwd_np(fwd, bwd, num_shards, rows_per_shard, R)
 
     deg = np.zeros(num_shards * rows_per_shard, np.int32)
     np.add.at(deg, ed, 1)
@@ -214,6 +258,7 @@ def partition_graph(
         bwd_blk_weight=jnp.asarray(bwd["blk_weight"]),
         bwd_blk_local=jnp.asarray(bwd["blk_local"].astype(np.int32)),
         bwd_blk_rowblock=jnp.asarray(bwd["blk_rowblock"].astype(np.int32)),
+        bwd_gather_fwd=jnp.asarray(bwd_map),
         local_in_degrees=jnp.asarray(
             deg.reshape(num_shards, rows_per_shard)
         ),

@@ -208,3 +208,98 @@ def test_partitioned_transformer_matches_single(setup, rng):
     # differentiable end-to-end
     gx = jax.grad(lambda x: jnp.sum(apply_encoder(params, "TRANSFORMER", gp, x) ** 2))(x)
     assert np.all(np.isfinite(np.asarray(gx)))
+
+
+@pytest.mark.parametrize("shards", [2, 4, 8])
+def test_partitioned_transformer_grad_matches_single(setup, shards):
+    """The hand-written TransformerConv VJP (softmax Jacobian + transposed
+    blocked scatter-matmuls) == single-device XLA autodiff, for BOTH the
+    input features and every layer parameter, on 2/4/8 shards."""
+    from plnlp_tpu.models.encoders import apply_encoder, init_encoder
+    from plnlp_tpu.parallel.graph_parallel import make_graph_parallel
+
+    n, d, src, dst, w, _, x = setup
+    g = build_graph(src, dst, None, num_nodes=n)
+    params = init_encoder(jax.random.PRNGKey(0), "TRANSFORMER", d, 16, 2)
+    mesh = make_mesh(data=1, node=shards)
+    e = g.num_edges
+    gp = make_graph_parallel(
+        np.asarray(g.senders)[:e], np.asarray(g.receivers)[:e], None,
+        num_nodes=n, mesh=mesh, block=(8, 128),
+    )
+    # non-symmetric downstream so every grad path (q/k/v/skip) is exercised
+    tgt = jnp.asarray(
+        np.random.default_rng(7).standard_normal((n, 16)), jnp.float32
+    )
+
+    def loss(graph_op):
+        def f(params, x):
+            h = apply_encoder(params, "TRANSFORMER", graph_op, x)
+            return jnp.sum((h - tgt) ** 2) + jnp.sum(jnp.sin(h))
+
+        return f
+
+    g1p, g1x = jax.grad(loss(g), argnums=(0, 1))(params, x)
+    g2p, g2x = jax.grad(loss(gp), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(g2x), np.asarray(g1x), rtol=1e-3, atol=1e-4)
+    flat1, tree1 = jax.tree_util.tree_flatten_with_path(g1p)
+    flat2 = jax.tree_util.tree_leaves(g2p)
+    assert len(flat1) == len(flat2)
+    for (path, a), b in zip(flat1, flat2):
+        # atol floor 1e-6: the lin_key bias grad is mathematically zero
+        # (softmax cancels per-row logit shifts) — f32 noise on both sides
+        scale = float(np.abs(np.asarray(a)).max())
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3,
+            atol=max(1e-4 * scale, 1e-6),
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def _collect_scatter_eqns(jaxpr, out):
+    for eqn in jaxpr.eqns:
+        if "scatter" in eqn.primitive.name:
+            out.append(eqn)
+        for p in eqn.params.values():
+            stack = [p]
+            while stack:
+                q = stack.pop()
+                if hasattr(q, "jaxpr"):  # ClosedJaxpr
+                    _collect_scatter_eqns(q.jaxpr, out)
+                elif hasattr(q, "eqns"):  # Jaxpr
+                    _collect_scatter_eqns(q, out)
+                elif isinstance(q, (list, tuple)):
+                    stack.extend(q)
+    return out
+
+
+def test_partitioned_transformer_bwd_has_no_edge_feature_scatter(setup):
+    """The expensive class the custom VJP eliminates: autodiff gather
+    transposes — scatter-adds with RANK-2 (num_edge_slots, D) updates.  The
+    only scatters left are the CPU-fallback row-block segment-sums (rank-3
+    (nblk, R, D), which the TPU Pallas kernel replaces) and per-edge SCALAR
+    softmax segment ops (rank-1)."""
+    from plnlp_tpu.models.encoders import apply_encoder, init_encoder
+    from plnlp_tpu.parallel.graph_parallel import make_graph_parallel
+
+    n, d, src, dst, w, _, x = setup
+    g = build_graph(src, dst, None, num_nodes=n)
+    params = init_encoder(jax.random.PRNGKey(0), "TRANSFORMER", d, 16, 2)
+    mesh = make_mesh(data=1, node=4)
+    e = g.num_edges
+    gp = make_graph_parallel(
+        np.asarray(g.senders)[:e], np.asarray(g.receivers)[:e], None,
+        num_nodes=n, mesh=mesh, block=(8, 128),
+    )
+
+    def loss(params, x):
+        return jnp.sum(apply_encoder(params, "TRANSFORMER", gp, x) ** 2)
+
+    jaxpr = jax.make_jaxpr(jax.grad(loss, argnums=(0, 1)))(params, x)
+    bad = [
+        eqn
+        for eqn in _collect_scatter_eqns(jaxpr.jaxpr, [])
+        if len(eqn.invars[2].aval.shape) == 2
+        and eqn.invars[2].aval.shape[-1] in (d, 16)
+    ]
+    assert not bad, f"edge-feature scatters survived: {bad}"
