@@ -114,18 +114,29 @@ def _apply(mesh, R, rows, x, blk_src, blk_weight, blk_local, blk_rowblock):
     )(x, blk_src, blk_weight, blk_local, blk_rowblock)
 
 
-def _apply_halo(
-    mesh, R, rows, x, send_idx, halo_src, blk_weight, blk_local, blk_rowblock
-):
-    """Halo-exchange aggregation: send only the unique boundary rows each
-    peer reads (see parallel.halo), then aggregate from the halo buffer."""
+def _apply_halo(mesh, R, rows, x, plan):
+    """Hardened halo aggregation (parallel.halo): local edges aggregate
+    straight from x_blk with NO dependency on the collectives — XLA's
+    latency-hiding scheduler overlaps the all_to_all/all_gather with the
+    local MXU work — while remote edges read from the concatenated
+    [per-peer halo | replicated hubs] buffer."""
 
-    def body(x_blk, sidx, hsrc, bw, bl, brb):
+    def body(x_blk, ls, lw, ll, lrb, rs, rw, rl, rrb, sidx, hidx):
         send = x_blk[sidx[0].reshape(-1)]  # (S*q, D), ordered by dest shard
         halo = jax.lax.all_to_all(
             send, "node", split_axis=0, concat_axis=0, tiled=True
         )  # (S*q, D): segment s*q.. holds the rows owned by shard s
-        return blocked_sum_arrays(halo, hsrc[0], bw[0], bl[0], brb[0], R, rows)
+        hubs = jax.lax.all_gather(
+            x_blk[hidx[0]], "node", axis=0, tiled=True
+        )  # (S*qh, D)
+        buffer = jnp.concatenate([halo, hubs], axis=0)
+        local_out = blocked_sum_arrays(
+            x_blk, ls[0], lw[0], ll[0], lrb[0], R, rows
+        )
+        remote_out = blocked_sum_arrays(
+            buffer, rs[0], rw[0], rl[0], rrb[0], R, rows
+        )
+        return local_out + remote_out
 
     return jax.shard_map(
         body,
@@ -135,11 +146,28 @@ def _apply_halo(
             P("node", None, None),
             P("node", None, None),
             P("node", None, None),
+            P("node", None),
+            P("node", None, None),
+            P("node", None, None),
+            P("node", None, None),
+            P("node", None),
             P("node", None, None),
             P("node", None),
         ),
         out_specs=P("node", None),
-    )(x, send_idx, halo_src, blk_weight, blk_local, blk_rowblock)
+    )(
+        x,
+        plan["loc_src"],
+        plan["loc_weight"],
+        plan["loc_local"],
+        plan["loc_rowblock"],
+        plan["rem_src"],
+        plan["rem_weight"],
+        plan["rem_local"],
+        plan["rem_rowblock"],
+        plan["send_idx"],
+        plan["hub_idx"],
+    )
 
 
 def _mean_scale(pg: PartitionedGraph, y: jnp.ndarray) -> jnp.ndarray:
@@ -163,11 +191,7 @@ def _direction(pg: PartitionedGraph, mesh: Mesh, comm: str, x, direction: str):
             pg.block_rows,
             pg.rows_per_shard,
             x,
-            get("send_idx"),
-            get("halo_src"),
-            get("blk_weight"),
-            get("blk_local"),
-            get("blk_rowblock"),
+            get("halo"),
         )
     return _apply(
         mesh,
@@ -213,7 +237,7 @@ def partitioned_spmm(
     pg = gp.pg
     if x.shape[0] < pg.padded_nodes:
         x = jnp.pad(x, ((0, pg.padded_nodes - x.shape[0]), (0, 0)))
-    if gp.comm == "halo" and pg.fwd_send_idx is None:
+    if gp.comm == "halo" and pg.fwd_halo is None:
         raise ValueError("comm='halo' requires a halo plan (with_halo / "
                          "make_graph_parallel(comm='halo'))")
     y = _pspmm(pg, x, gp.mesh, reduce, gp.comm)

@@ -42,10 +42,8 @@ __all__ = ["PartitionedGraph", "partition_graph", "with_halo"]
         "bwd_blk_rowblock",
         "bwd_gather_fwd",
         "local_in_degrees",
-        "fwd_send_idx",
-        "fwd_halo_src",
-        "bwd_send_idx",
-        "bwd_halo_src",
+        "fwd_halo",
+        "bwd_halo",
     ],
     meta_fields=[
         "num_nodes",
@@ -54,6 +52,7 @@ __all__ = ["PartitionedGraph", "partition_graph", "with_halo"]
         "block_rows",
         "block_edges",
         "halo_quota",
+        "halo_hubs",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -81,54 +80,49 @@ class PartitionedGraph:
     block_rows: int
     block_edges: int
     # --- optional halo-exchange plan (None until with_halo) ---
-    fwd_send_idx: Optional[jnp.ndarray] = None  # (S, S, q) int32
-    fwd_halo_src: Optional[jnp.ndarray] = None  # (S, nblk_f, B) int32
-    bwd_send_idx: Optional[jnp.ndarray] = None
-    bwd_halo_src: Optional[jnp.ndarray] = None
-    halo_quota: int = 0
+    # Each is a dict of stacked per-shard arrays from halo.build_halo_plan:
+    # local/remote blocked structures, send_idx (S,S,q), hub_idx (S,qh).
+    fwd_halo: Optional[dict] = None
+    bwd_halo: Optional[dict] = None
+    halo_quota: int = 0  # q: per-peer non-hub boundary rows
+    halo_hubs: int = 0  # qh: per-owner replicated hub rows
 
     @property
     def padded_nodes(self) -> int:
         return self.num_shards * self.rows_per_shard
 
 
-def with_halo(pg: PartitionedGraph) -> PartitionedGraph:
-    """Attach halo-exchange plans for both directions (host-side)."""
+def with_halo(pg: PartitionedGraph, hub_k: Optional[int] = None) -> PartitionedGraph:
+    """Attach hardened halo-exchange plans for both directions (host-side).
+
+    ``hub_k``: rows read remotely by >= hub_k shards are replicated via
+    all_gather instead of counted against every peer quota (default
+    max(3, S//2+1)).  See parallel.halo for the plan layout."""
     from plnlp_tpu.parallel.halo import build_halo_plan
 
-    f_send, f_src, qf = build_halo_plan(
-        np.asarray(pg.fwd_blk_src),
-        np.asarray(pg.fwd_blk_weight),
-        pg.rows_per_shard,
-        pg.num_shards,
-    )
-    b_send, b_src, qb = build_halo_plan(
-        np.asarray(pg.bwd_blk_src),
-        np.asarray(pg.bwd_blk_weight),
-        pg.rows_per_shard,
-        pg.num_shards,
-    )
-    q = max(qf, qb)
-    # unify quotas so fwd/bwd halo buffers share a static shape family
+    def build(pre):
+        get = lambda name: np.asarray(getattr(pg, pre + name))
+        return build_halo_plan(
+            get("blk_src"),
+            get("blk_weight"),
+            get("blk_local"),
+            get("blk_rowblock"),
+            pg.rows_per_shard,
+            pg.num_shards,
+            pg.block_rows,
+            pg.block_edges,
+            hub_k=hub_k,
+        )
 
-    def repad(send, src, q_old):
-        if q_old == q:
-            return send, src
-        pad = q - q_old
-        send = np.pad(send, ((0, 0), (0, 0), (0, pad)))
-        owners = src // q_old
-        within = src % q_old
-        return send, owners * q + within
-
-    f_send, f_src = repad(f_send, f_src, qf)
-    b_send, b_src = repad(b_send, b_src, qb)
+    f_plan, qf, qhf = build("fwd_")
+    b_plan, qb, qhb = build("bwd_")
+    to_dev = lambda plan: {k: jnp.asarray(v) for k, v in plan.items()}
     return dataclasses.replace(
         pg,
-        fwd_send_idx=jnp.asarray(f_send),
-        fwd_halo_src=jnp.asarray(f_src.astype(np.int32)),
-        bwd_send_idx=jnp.asarray(b_send),
-        bwd_halo_src=jnp.asarray(b_src.astype(np.int32)),
-        halo_quota=q,
+        fwd_halo=to_dev(f_plan),
+        bwd_halo=to_dev(b_plan),
+        halo_quota=max(qf, qb),
+        halo_hubs=max(qhf, qhb),
     )
 
 

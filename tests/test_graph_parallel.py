@@ -180,8 +180,56 @@ def test_halo_quota_smaller_than_allgather(setup):
     pg = with_halo(
         partition_graph(src, dst, None, num_nodes=n, num_shards=8, block=(8, 32))
     )
-    # halo buffer per shard = S * q rows; must be well under N
-    assert pg.num_shards * pg.halo_quota < n
+    # comm rows per shard = S*(q + qh); must be well under N
+    assert pg.num_shards * (pg.halo_quota + pg.halo_hubs) < n
+
+
+def test_halo_powerlaw_hub_replication(rng):
+    """On a power-law graph, hub replication must (a) keep halo volume below
+    the all-gather and (b) beat the no-hub plan's quota — the failure mode
+    VERDICT flagged: one hub node read by every shard inflating every peer
+    buffer (quota was a global max)."""
+    from plnlp_tpu.ops.spmm import spmm_segment
+    from plnlp_tpu.parallel.partition import with_halo
+
+    # Power-law-with-locality graph: ring-local edges (small true halos)
+    # plus 8 global hub sources read by every node — the exact scenario
+    # where a global-max quota blows every peer buffer up.
+    n = 1024
+    ring_src = np.concatenate([np.arange(n), np.arange(n)])
+    ring_dst = np.concatenate([(np.arange(n) + 1) % n, (np.arange(n) + 2) % n])
+    hubs = rng.integers(0, n, 8)
+    hub_src = np.repeat(hubs, n // 8)
+    hub_dst = rng.integers(0, n, len(hub_src))
+    src = np.concatenate([ring_src, hub_src])
+    dst = np.concatenate([ring_dst, hub_dst])
+    shards = 8
+    pg0 = partition_graph(src, dst, None, num_nodes=n, num_shards=shards, block=(8, 128))
+    # no-hub plan: threshold above S disables replication
+    pg_nohub = with_halo(pg0, hub_k=shards + 1)
+    pg_hub = with_halo(pg0, hub_k=3)
+    assert pg_nohub.halo_hubs <= 1  # padding row only
+    # hub replication shrinks the per-peer quota
+    assert pg_hub.halo_quota < pg_nohub.halo_quota
+    # and total comm volume stays below the all-gather volume per shard
+    comm_rows = shards * (pg_hub.halo_quota + pg_hub.halo_hubs)
+    assert comm_rows < pg_hub.padded_nodes
+    # parity on the hubbed plan
+    mesh = make_mesh(data=1, node=shards)
+    gp = GraphParallel(pg=pg_hub, mesh=mesh, comm="halo")
+    g = build_graph(src, dst, None, num_nodes=n)
+    x = jnp.asarray(rng.standard_normal((n, 16)), jnp.float32)
+    xs = shard_node_features(x, pg_hub, mesh)
+    out = partitioned_spmm(gp, xs, "sum")[:n]
+    expect = spmm_segment(g, x, "sum")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-4, atol=1e-5)
+    # gradient through the hubbed halo path still matches
+    cot = jnp.asarray(np.random.default_rng(3).standard_normal((n, 16)), jnp.float32)
+    gx = jax.grad(lambda x: jnp.vdot(partitioned_spmm(gp, x, "sum"), cot))(xs)
+    gx_ref = jax.grad(lambda x: jnp.vdot(spmm_segment(g, x, "sum"), cot))(x)
+    np.testing.assert_allclose(
+        np.asarray(gx)[:n], np.asarray(gx_ref), rtol=1e-4, atol=1e-5
+    )
 
 
 def test_partitioned_transformer_matches_single(setup, rng):
