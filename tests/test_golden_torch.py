@@ -122,6 +122,12 @@ class TorchOracle:
         last = self.pred["lins"][-1]
         return x @ last["w"] + last["b"]
 
+    def _tower(self, x):
+        # relu after EVERY layer (layer.py:132-137), width-1 factory quirk
+        for lin in self.pred["lins"]:
+            x = torch.relu(x @ lin["w"] + lin["b"])
+        return x
+
     def score(self, h, edges):
         xi, xj = h[edges[:, 0]], h[edges[:, 1]]
         if self.predictor == "MLP":
@@ -134,6 +140,12 @@ class TorchOracle:
             o1 = self._mlp(torch.cat([xi, xj], dim=-1))
             o2 = self._mlp(torch.cat([xj, xi], dim=-1))
             return (o1 + o2) / 2
+        if self.predictor == "MLPDOT":
+            return (self._tower(xi) * self._tower(xj)).sum(-1)
+        if self.predictor == "MLPBIL":
+            return (
+                (self._tower(xi) @ self.pred["bilin"]["w"]) * self._tower(xj)
+            ).sum(-1)
         raise ValueError(self.predictor)
 
     # -- losses -------------------------------------------------------------
@@ -268,7 +280,9 @@ def test_train_step_parity_vs_torch(rng, encoder):
         )
 
 
-@pytest.mark.parametrize("predictor", ["DOT", "BIL", "MLPCAT"])
+@pytest.mark.parametrize(
+    "predictor", ["DOT", "BIL", "MLPCAT", "MLPDOT", "MLPBIL"]
+)
 def test_predictor_parity_vs_torch(rng, predictor):
     n, d, num_neg, b = 40, 16, 2, 64
     g, adj = _build(rng, "SAGE", n, d)
