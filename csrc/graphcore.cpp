@@ -83,4 +83,54 @@ void densify(const int64_t* src, const int64_t* dst, const float* w,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Sub-block expansion for the blocked scatter-matmul (graph.with_blocks):
+// edges sorted by dst; every rowblock of R destination rows is split into
+// ceil(cnt/B) sub-blocks of B edge lanes (>=1 so the kernel zero-fills empty
+// rowblocks).  Mirrors graph._blocks_np exactly; the NumPy version costs
+// multiple seconds at citation2 scale (30M edges).
+
+// Number of sub-blocks.  indptr: int32[n+1].
+int64_t blocks_count(const int32_t* indptr, int64_t n, int64_t R, int64_t B) {
+  int64_t nrb = (n + R - 1) / R;
+  int64_t nblk = 0;
+  for (int64_t rb = 0; rb < nrb; ++rb) {
+    int64_t lo = indptr[rb * R];
+    int64_t hi = indptr[std::min((rb + 1) * R, n)];
+    int64_t nb = (hi - lo + B - 1) / B;
+    nblk += nb > 0 ? nb : 1;
+  }
+  return nblk;
+}
+
+// Fill blk_src/blk_w/blk_local (int32/float32/int32, nblk*B, pre-zeroed) and
+// blk_rowblock (int32[nblk]).
+void blocks_fill(const int64_t* senders, const int64_t* receivers,
+                 const float* w, const int32_t* indptr, int64_t n, int64_t R,
+                 int64_t B, int32_t* blk_src, float* blk_w, int32_t* blk_local,
+                 int32_t* blk_rowblock) {
+  int64_t nrb = (n + R - 1) / R;
+  std::vector<int64_t> starts(static_cast<size_t>(nrb) + 1, 0);
+  for (int64_t rb = 0; rb < nrb; ++rb) {
+    int64_t lo = indptr[rb * R];
+    int64_t hi = indptr[std::min((rb + 1) * R, n)];
+    int64_t nb = (hi - lo + B - 1) / B;
+    starts[rb + 1] = starts[rb] + (nb > 0 ? nb : 1);
+  }
+#pragma omp parallel for schedule(dynamic, 16)
+  for (int64_t rb = 0; rb < nrb; ++rb) {
+    int64_t lo = indptr[rb * R];
+    int64_t hi = indptr[std::min((rb + 1) * R, n)];
+    int64_t base = starts[rb];
+    for (int64_t k = base; k < starts[rb + 1]; ++k)
+      blk_rowblock[k] = static_cast<int32_t>(rb);
+    for (int64_t i = lo; i < hi; ++i) {
+      int64_t slot = base * B + (i - lo);
+      blk_src[slot] = static_cast<int32_t>(senders[i]);
+      blk_w[slot] = w ? w[i] : 1.0f;
+      blk_local[slot] = static_cast<int32_t>(receivers[i] - rb * R);
+    }
+  }
+}
+
 }  // extern "C"

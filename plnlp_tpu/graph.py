@@ -350,8 +350,24 @@ def _edge_mask_np(csr) -> Optional[np.ndarray]:
 
 
 def _blocks_np(csr, block_rows: int, block_edges: int):
-    """Blocking metadata from HOST CSR arrays (see with_blocks docstring)."""
+    """Blocking metadata from HOST CSR arrays (see with_blocks docstring).
+
+    Dispatches to the native C++ builder (csrc/graphcore.cpp blocks_build)
+    when available — the NumPy path costs seconds at citation2 scale."""
     R, B = int(block_rows), int(block_edges)
+    from plnlp_tpu import native
+
+    if native.available():
+        e = csr["num_edges"]
+        return native.blocks_build(
+            csr["senders"][:e],
+            csr["receivers"][:e],
+            csr["edge_weight"][:e],
+            csr["indptr"],
+            csr["num_nodes"],
+            R,
+            B,
+        )
     n = csr["num_nodes"]
     e = csr["num_edges"]
     indptr = csr["indptr"].astype(np.int64)

@@ -15,7 +15,14 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["get_lib", "coalesce_add", "build_indptr", "densify", "available"]
+__all__ = [
+    "get_lib",
+    "coalesce_add",
+    "build_indptr",
+    "densify",
+    "blocks_build",
+    "available",
+]
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(_ROOT, "csrc", "graphcore.cpp")
@@ -75,6 +82,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _I64, _I64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             _F32, _I32,
         ]
+        lib.blocks_count.restype = ctypes.c_int64
+        lib.blocks_count.argtypes = [
+            _I32, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.blocks_fill.restype = None
+        lib.blocks_fill.argtypes = [
+            _I64, _I64, ctypes.c_void_p, _I32, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, _I32, _F32, _I32, _I32,
+        ]
         _lib = lib
         return _lib
 
@@ -116,6 +132,46 @@ def build_indptr(dst_sorted: np.ndarray, num_nodes: int) -> np.ndarray:
     indptr = np.empty(num_nodes + 1, np.int32)
     lib.build_indptr(dst_sorted, len(dst_sorted), num_nodes, indptr)
     return indptr
+
+
+def blocks_build(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    w: Optional[np.ndarray],
+    indptr: np.ndarray,
+    num_nodes: int,
+    R: int,
+    B: int,
+) -> dict:
+    """Sub-block metadata for the blocked scatter-matmul — native counterpart
+    of graph._blocks_np (edges sorted by dst; arrays pre-zeroed here so
+    padding lanes carry weight 0)."""
+    lib = get_lib()
+    assert lib is not None
+    senders = np.ascontiguousarray(senders, np.int64)
+    receivers = np.ascontiguousarray(receivers, np.int64)
+    indptr = np.ascontiguousarray(indptr, np.int32)
+    nblk = int(lib.blocks_count(indptr, num_nodes, R, B))
+    blk_src = np.zeros(nblk * B, np.int32)
+    blk_w = np.zeros(nblk * B, np.float32)
+    blk_local = np.zeros(nblk * B, np.int32)
+    blk_rowblock = np.zeros(nblk, np.int32)
+    if w is None:
+        wp = None
+    else:
+        wp, _keep = _wptr(w)
+    lib.blocks_fill(
+        senders, receivers, wp, indptr, num_nodes, R, B,
+        blk_src, blk_w, blk_local, blk_rowblock,
+    )
+    return {
+        "blk_src": blk_src.reshape(nblk, B),
+        "blk_weight": blk_w.reshape(nblk, B),
+        "blk_local": blk_local.reshape(nblk, B),
+        "blk_rowblock": blk_rowblock,
+        "block_rows": R,
+        "block_edges": B,
+    }
 
 
 def densify(
