@@ -177,3 +177,38 @@ def test_edges_exist_bitmask_vs_binary_search(rng):
     e = g.num_edges
     a[np.asarray(g.receivers)[:e], np.asarray(g.senders)[:e]] = True
     np.testing.assert_array_equal(via_mask, a[np.asarray(qd), np.asarray(qs)])
+
+
+def test_global_neg_sample_star_graph(rng):
+    # star: node 0 connected to everyone — negatives must avoid all (0, v)
+    # and (v, 0) pairs plus self loops, leaving only leaf-leaf pairs
+    n = 40
+    src = np.concatenate([np.zeros(n - 1, np.int64), np.arange(1, n)])
+    dst = np.concatenate([np.arange(1, n), np.zeros(n - 1, np.int64)])
+    g = build_graph(src, dst, None, num_nodes=n)
+    out = np.asarray(global_neg_sample(jax.random.PRNGKey(3), g, 512, 2)).reshape(-1, 2)
+    assert (out[:, 0] != 0).all() and (out[:, 1] != 0).all()
+    assert (out[:, 0] != out[:, 1]).all()
+
+
+def test_global_neg_sample_near_complete_graph(rng):
+    # only ONE non-edge pair exists (plus its reverse): every sample must
+    # land on it — the duplicate-pad fallback taken to its extreme
+    n = 12
+    dense = np.ones((n, n), bool)
+    np.fill_diagonal(dense, False)
+    dense[3, 7] = dense[7, 3] = False
+    src, dst = np.nonzero(dense)
+    g = build_graph(src.astype(np.int64), dst.astype(np.int64), None, num_nodes=n)
+    out = np.asarray(global_neg_sample(jax.random.PRNGKey(0), g, 256, 1)).reshape(-1, 2)
+    pairs = {(int(a), int(b)) for a, b in out}
+    assert pairs <= {(3, 7), (7, 3)}
+
+
+def test_local_neg_sample_two_nodes(rng):
+    # degenerate graph: destinations drawn from {0, 1}; sources preserved
+    pos = jnp.asarray(np.array([[0, 1], [1, 0]], np.int32))
+    out = np.asarray(local_neg_sample(jax.random.PRNGKey(1), pos, 2, 4))
+    assert out.shape == (2, 4, 2)
+    np.testing.assert_array_equal(out[:, :, 0], np.array([[0] * 4, [1] * 4]))
+    assert ((out[:, :, 1] == 0) | (out[:, :, 1] == 1)).all()
