@@ -100,7 +100,10 @@ def argument(argv=None):
         help="dense adjacency (MXU path, small graphs) vs blocked CSR",
     )
     parser.add_argument("--dense_threshold", type=int, default=20000)
-    parser.add_argument("--block_rows", type=int, default=512)
+    parser.add_argument(
+        "--block_rows", type=int, default=512,
+        help="scatter-matmul row-block size; 0 = autotune on this graph",
+    )
     parser.add_argument("--block_edges", type=int, default=512)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
@@ -314,6 +317,17 @@ def prepare_experiment(args):
     use_dense = args.adj_backend == "dense" or (
         args.adj_backend == "auto" and num_nodes <= args.dense_threshold
     )
+    if args.block_rows == 0 and not use_dense:
+        from plnlp_tpu.tuning import autotune_block
+
+        args.block_rows, args.block_edges = autotune_block(
+            surg["adj_src"], surg["adj_dst"], surg["adj_weight"],
+            num_nodes=num_nodes, dim=args.gnn_hidden_channels,
+            dtype=getattr(args, "compute_dtype", "float32"), log=print,
+        )
+        print(f"autotuned block = ({args.block_rows}, {args.block_edges})")
+    elif args.block_rows == 0:
+        args.block_rows = 512
     if num_shards > 1:
         # Multi-chip: destination rows + embedding table sharded over the
         # 'node' mesh axis; the same Model/step code runs unchanged because

@@ -1,0 +1,90 @@
+"""Block-size autotuning for the blocked-CSR SpMM.
+
+The scatter-matmul's row-block size R trades one-hot matmul cost
+(per-edge ~2·R·D flops) against sub-block padding and accumulator
+residency; round-1 measurements showed R=512 beating R=256 by ~1.6x at
+collab scale, with the optimum shifting with graph degree distribution and
+feature width.  ``autotune_block`` measures the real fwd+bwd on the actual
+graph for a few candidate (R, B) pairs and returns the fastest.
+
+Timings force a device->host readback per trial (block_until_ready does not
+wait for execution over the axon tunnel) and use medians over ``iters``
+trials to ride out the shared chip's run-to-run variance.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["autotune_block"]
+
+_CANDIDATES: Tuple[Tuple[int, int], ...] = ((256, 512), (512, 512), (1024, 512))
+
+
+def autotune_block(
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: Optional[np.ndarray],
+    *,
+    num_nodes: int,
+    dim: int,
+    symmetrize: bool = False,
+    candidates: Sequence[Tuple[int, int]] = _CANDIDATES,
+    iters: int = 3,
+    dtype="float32",
+    log=None,
+) -> Tuple[int, int]:
+    """Measure blocked SpMM fwd+bwd per candidate (R, B); return the best.
+
+    Intended for one-time use at experiment setup on real hardware (the CLI
+    ``--block_rows=0`` path); on CPU it still works but the choice is
+    meaningless for TPU runs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from plnlp_tpu.graph import prepare_graph
+    from plnlp_tpu.ops.spmm import spmm_blocked
+
+    x = jax.random.normal(
+        jax.random.PRNGKey(0), (num_nodes, dim), jnp.dtype(dtype)
+    )
+    best, best_dt = None, float("inf")
+    for R, B in candidates:
+        if R > max(num_nodes, 1):
+            continue
+        g, gt = prepare_graph(
+            src, dst, weight, num_nodes=num_nodes,
+            symmetrize=symmetrize, block=(R, B),
+        )
+        f = jax.jit(
+            jax.value_and_grad(
+                lambda x: jnp.sum(
+                    spmm_blocked(g, gt, x, "sum").astype(jnp.float32) ** 2
+                )
+            )
+        )
+        try:
+            v, _ = f(x)
+            float(v)  # compile + readback sync
+            ts = []
+            for _ in range(iters):
+                t0 = time.time()
+                v, gr = f(x)
+                float(v)
+                ts.append(time.time() - t0)
+            dt = float(np.median(ts))
+        except Exception as e:  # OOM on huge R etc. — skip the candidate
+            if log:
+                log(f"autotune: (R={R}, B={B}) failed: {e!r:.120}")
+            continue
+        if log:
+            log(f"autotune: (R={R}, B={B}) spmm fwd+bwd {dt*1e3:.1f} ms")
+        if dt < best_dt:
+            best, best_dt = (R, B), dt
+    if best is None:
+        return 512, 512
+    return best

@@ -346,3 +346,12 @@ def test_readme_commands_translate_verbatim(config):
         args.use_coalesce = False
     loggers = run_experiment(args, log=lambda *_: None)
     assert all(lg.results[0] for lg in loggers.values())
+
+
+def test_block_rows_autotune_smoke():
+    """--block_rows=0 autotunes on the actual graph (CPU: functional path)."""
+    loggers = run_experiment(
+        _args(adj_backend="csr", block_rows=0, epochs=1, batch_size=512),
+        log=lambda *_: None,
+    )
+    assert all(lg.results[0] for lg in loggers.values())
