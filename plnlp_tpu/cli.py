@@ -587,7 +587,8 @@ def run_experiment(args, log=print):
             )
             if epoch % args.eval_steps == 0:
                 results = model.test(
-                    params, graph, graph_t, node_feats, exp["eval_edges"], eval_metric
+                    params, graph, graph_t, node_feats, exp["eval_edges"],
+                    eval_metric, mesh=mesh,
                 )
                 for k, res in results.items():
                     loggers[k].add_result(run, res)

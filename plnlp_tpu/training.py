@@ -439,19 +439,49 @@ class Model:
             lambda c: self._predict_chunk_impl(params, h, c), chunks
         )
 
-    def batch_predict(self, params, h, edges: jnp.ndarray) -> np.ndarray:
-        """Chunked pair scoring — reference batch_predict (model.py:175-182)."""
+    def batch_predict(self, params, h, edges: jnp.ndarray, mesh=None) -> np.ndarray:
+        """Chunked pair scoring — reference batch_predict (model.py:175-182).
+
+        With ``mesh``, chunks are sharded over the 'data' axis and each
+        device lax.maps its own share (data-parallel eval for the 86M-pair
+        citation2 sets); without, a single-device lax.map."""
         bs = self.cfg.eval_batch_size or self.cfg.batch_size
         m = edges.shape[0]
         if m == 0:
             return np.zeros((0,), np.float32)
         nchunks = max(1, -(-m // bs))
+        if mesh is not None:
+            ndata = mesh.shape.get("data", 1)
+            nchunks = -(-nchunks // ndata) * ndata
         pad = nchunks * bs - m
         if pad:
             edges = jnp.concatenate([edges, jnp.zeros((pad, 2), edges.dtype)])
         chunks = edges.reshape(nchunks, bs, 2)
-        out = self._predict_mapped(params, h, chunks)
+        if mesh is not None and mesh.shape.get("data", 1) > 1:
+            out = self._predict_sharded(params, h, chunks, mesh)
+        else:
+            out = self._predict_mapped(params, h, chunks)
         return np.asarray(out.reshape(-1)[:m])
+
+    def _predict_sharded(self, params, h, chunks, mesh):
+        from jax.sharding import PartitionSpec as P
+
+        def body(params, h, chunks_local):
+            return jax.lax.map(
+                lambda c: self._predict_chunk_impl(params, h, c), chunks_local
+            )
+
+        # params and h replicated (h may arrive node-sharded from a
+        # GraphParallel encode — pairs index arbitrary rows, so scoring
+        # wants the full table per device); chunks split over 'data'.
+        return jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(), P(), P("data", None, None)),
+                out_specs=P("data", None),
+            )
+        )(params, h, chunks)
 
     def test(
         self,
@@ -461,15 +491,21 @@ class Model:
         node_feats,
         split_edges: Dict[str, Dict[str, jnp.ndarray]],
         eval_metric: str = "hits",
+        mesh=None,
     ):
         """Reference BaseModel.test (model.py:184-226): encode full graph,
-        score valid/test pos+neg pairs, Hits@K or MRR."""
+        score valid/test pos+neg pairs, Hits@K or MRR.  ``mesh`` shards the
+        pair scoring over the 'data' axis (multi-chip eval)."""
         h = self._encode(params, graph, graph_t, node_feats)
         preds = {}
         for split in ("valid", "test"):
             preds[split] = {
-                "pos": self.batch_predict(params, h, split_edges[split]["pos"]),
-                "neg": self.batch_predict(params, h, split_edges[split]["neg"]),
+                "pos": self.batch_predict(
+                    params, h, split_edges[split]["pos"], mesh=mesh
+                ),
+                "neg": self.batch_predict(
+                    params, h, split_edges[split]["neg"], mesh=mesh
+                ),
             }
         if eval_metric == "mrr":
             npos_v = preds["valid"]["pos"].shape[0]

@@ -156,3 +156,20 @@ def test_sharded_blocked_graph(setup, rng):
         jnp.asarray(1e-2, jnp.float32), jax.random.PRNGKey(42),
     )
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+
+
+def test_sharded_batch_predict_matches_single(setup, rng):
+    """Mesh-sharded eval scoring == single-device lax.map scoring."""
+    import jax.numpy as jnp
+
+    model, params, opt_state, g, pos, neg = setup
+    h = model._encode(params, g, None, None)
+    edges = jnp.asarray(rng.integers(0, 64, (1000, 2)).astype(np.int64))
+    single = model.batch_predict(params, h, edges)
+    mesh = make_mesh(data=8, node=1)
+    sharded = model.batch_predict(params, h, edges, mesh=mesh)
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+    # 2-D mesh: data axis shards, node axis replicated
+    mesh2 = make_mesh(data=4, node=2)
+    sharded2 = model.batch_predict(params, h, edges, mesh=mesh2)
+    np.testing.assert_allclose(sharded2, single, rtol=1e-5, atol=1e-6)
