@@ -1,21 +1,29 @@
-"""Benchmark harness — prints ONE JSON line with the north-star metric.
+"""Benchmark harness — prints one JSON line per tracked metric.
 
-Metric: aggregated-edges/s/chip through the FULL flagship train step
-(2-layer SAGE encoder full-graph fwd+bwd + MLP pair scoring + AUC loss +
-Adam update) on an ogbl-ddi-sized synthetic graph (N=4267, E≈2M after
-symmetrization), dense-adjacency backend — the configuration the reference's
-headline ogbl-ddi result trains (reference README.md:24, BASELINE.md).
+Headline metric (printed LAST — the driver parses the final line):
+aggregated-edges/s/chip through the FULL flagship train step (2-layer SAGE
+encoder full-graph fwd+bwd + MLP pair scoring + AUC loss + Adam update) on
+an ogbl-ddi-sized synthetic graph (N=4267, E≈2M after symmetrization),
+dense-adjacency backend — the configuration the reference's headline
+ogbl-ddi result trains (reference README.md:24, BASELINE.md).
+
+Sparse-path metric (printed first): blocked-CSR SpMM fwd+bwd at
+ogbl-collab scale (N=236k, E≈2.6M sym, D=256) — the kernel that carries
+collab and citation2, where the XLA row gather is the wall.  Tracked so a
+green dense headline can't hide a red sparse kernel (round-1 verdict).
 
 edges/s = num_edges × gnn_layers × 2 (fwd+bwd) / step_time.
 
-vs_baseline is relative to the first honest measurement from round 1
-(239 M agg-edges/s, f32, pre-optimization) so the series tracks progress.
+vs_baseline anchors are the FIRST honest round-1 measurements of each path
+(dense: 239 M agg-edges/s f32; sparse: 76 M edges/s ≈ 67.5 ms fwd+bwd, the
+midpoint of round-1's 50-85 ms range) so the series tracks progress.
 """
 
 import json
 import time
 
 BASELINE_EDGES_PER_SEC = 239e6  # round-1 first measurement, dense path, f32
+BASELINE_SPARSE_EDGES_PER_SEC = 76e6  # round-1 blocked spmm fwd+bwd ~67.5 ms
 
 
 def main():
@@ -31,7 +39,45 @@ def main():
     from plnlp_tpu.graph import prepare_graph
     from plnlp_tpu.training import Model, ModelConfig
 
+    # ---- sparse-path metric: collab-scale blocked-CSR SpMM fwd+bwd ----
+    from plnlp_tpu.ops.spmm import spmm_blocked
+
     rng = np.random.default_rng(0)
+    ns, es, ds = 236_000, 1_300_000, 256
+    s_src = rng.integers(0, ns, es)
+    s_dst = rng.integers(0, ns, es)
+    sg, sgt = prepare_graph(
+        s_src, s_dst, None, num_nodes=ns, symmetrize=True, block=(512, 512)
+    )
+    # features generated ON DEVICE — a 242 MB host->device push over the
+    # axon tunnel takes minutes and would poison the timing environment
+    xs = jax.random.normal(jax.random.PRNGKey(0), (ns, ds), jnp.float32)
+    spmm_f = jax.jit(
+        jax.value_and_grad(lambda x: jnp.sum(spmm_blocked(sg, sgt, x, "sum") ** 2))
+    )
+    v, gr = spmm_f(xs)
+    float(v)  # compile + sync (block_until_ready lies on axon)
+    ts = []
+    for _ in range(7):
+        t0 = time.time()
+        v, gr = spmm_f(xs)
+        float(v)
+        ts.append(time.time() - t0)
+    sp_dt = float(np.median(ts))
+    sp_eps = sg.num_edges * 2 / sp_dt
+    print(
+        json.dumps(
+            {
+                "metric": "blocked_csr_spmm_fwd_bwd_edges_per_sec",
+                "value": round(sp_eps),
+                "unit": f"edges/s (collab-size N={ns} E={sg.num_edges} D={ds} "
+                f"blocked-CSR SpMM fwd+bwd; {sp_dt*1e3:.1f} ms)",
+                "vs_baseline": round(sp_eps / BASELINE_SPARSE_EDGES_PER_SEC, 3),
+            }
+        )
+    )
+
+    # ---- headline metric: full ddi-size train step (dense backend) ----
     n, e, dim, batch, num_neg = 4267, 1_067_000, 512, 64 * 1024, 3
     src = rng.integers(0, n, e)
     dst = rng.integers(0, n, e)
