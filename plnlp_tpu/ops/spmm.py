@@ -122,13 +122,14 @@ def _chunk_part(x, blk_src, blk_weight, blk_local, R):
 
 
 def blocked_sum_arrays(
-    x: jnp.ndarray,
+    x: Optional[jnp.ndarray],
     blk_src: jnp.ndarray,  # (nblk, B) int32
     blk_weight: jnp.ndarray,  # (nblk, B) f32 (0 = padding)
     blk_local: jnp.ndarray,  # (nblk, B) int32
     blk_rowblock: jnp.ndarray,  # (nblk,) int32 sorted
     block_rows: int,
     out_rows: int,
+    feats: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Array-level blocked weighted-sum aggregation -> (out_rows, D).
 
@@ -136,19 +137,42 @@ def blocked_sum_arrays(
     SpMM (parallel.sharded), which operates on raw per-shard metadata.
     Dispatches to the Pallas scatter-matmul on TPU, XLA one-hot einsum
     elsewhere.
+
+    ``feats`` (nblk*B, D) or (nblk, B, D): PRE-GATHERED edge features —
+    callers that need the same gather for several aggregations (e.g. the
+    TransformerConv's k/v at identical sender indices) gather a widened
+    concat once and pass slices here; the XLA row gather is row-rate bound,
+    so this halves its cost.
     """
     from plnlp_tpu.ops.pallas_spmm import pallas_available, scatter_matmul
 
     R = block_rows
     nblk, B = blk_src.shape
-    d = x.shape[-1]
+    d = x.shape[-1] if feats is None else feats.shape[-1]
     n_rowblocks = (out_rows + R - 1) // R
-    if pallas_available():
-        feats = x[blk_src.reshape(-1)].reshape(nblk, B, d)
-        out = scatter_matmul(
-            feats, blk_local, blk_weight, blk_rowblock, R, n_rowblocks
+    if feats is not None or pallas_available():
+        if feats is None:
+            feats = x[blk_src.reshape(-1)]
+        feats = feats.reshape(nblk, B, d)
+        if pallas_available():
+            out = scatter_matmul(
+                feats, blk_local, blk_weight, blk_rowblock, R, n_rowblocks
+            )
+            return out[:out_rows]
+        # non-TPU with pre-gathered feats: weighted one-hot einsum
+        gathered = feats * blk_weight[..., None].astype(feats.dtype)
+        onehot = (
+            blk_local[..., None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, 1, R), 2)
+        ).astype(feats.dtype)
+        blk_out = jnp.einsum(
+            "nbr,nbd->nrd", onehot, gathered, preferred_element_type=jnp.float32
+        ).astype(feats.dtype)
+        out = jax.ops.segment_sum(
+            blk_out, blk_rowblock, num_segments=n_rowblocks,
+            indices_are_sorted=True,
         )
-        return out[:out_rows]
+        return out.reshape(n_rowblocks * R, d)[:out_rows]
     blk_out = _chunk_part(x, blk_src, blk_weight, blk_local, R)
     out = jax.ops.segment_sum(
         blk_out, blk_rowblock, num_segments=n_rowblocks, indices_are_sorted=True

@@ -282,8 +282,12 @@ def _ptc_fwd_impl(pg: PartitionedGraph, lp, x, mesh):
         v = linear(lp["lin_value"], x_full)
         bs0, bw0, bl0, brb0 = bs[0], bw[0], bl[0], brb[0]
         dst_local = brb0[:, None] * R + bl0  # (nblk, B) shard-local rows
+        # one widened gather for k AND v at the shared sender indices (the
+        # XLA row gather is row-rate bound, flat in width — measured)
+        kv_e = jnp.concatenate([k, v], axis=-1)[bs0.reshape(-1)]
+        k_e = kv_e[:, :d].reshape(bs0.shape + (d,))
         logits = (
-            jnp.sum(q[dst_local] * k[bs0], axis=-1) / _math.sqrt(d)
+            jnp.sum(q[dst_local] * k_e, axis=-1) / _math.sqrt(d)
         ).astype(jnp.float32)
         valid = bw0 != 0
         flat_dst = dst_local.reshape(-1)
@@ -298,7 +302,9 @@ def _ptc_fwd_impl(pg: PartitionedGraph, lp, x, mesh):
         seg_sum = jax.ops.segment_sum(ex, flat_dst, num_segments=rows)
         denom = jnp.maximum(seg_sum, jnp.finfo(jnp.float32).tiny)
         alpha = (ex / denom[flat_dst]).reshape(bw0.shape).astype(jnp.float32)
-        agg = blocked_sum_arrays(v, bs0, alpha, bl0, brb0, R, rows)
+        agg = blocked_sum_arrays(
+            None, bs0, alpha, bl0, brb0, R, rows, feats=kv_e[:, d:]
+        )
         return agg + linear(lp["lin_skip"], x_blk), alpha[None]
 
     return jax.shard_map(
@@ -363,11 +369,16 @@ def _ptc_bwd_impl(pg: PartitionedGraph, lp, x, alpha, g, mesh):
         valid = (bw0 != 0).astype(jnp.float32)
         dst_local = brb0[:, None] * R + bl0
 
+        # ONE widened gather for k AND v at the shared fwd sender indices
+        # (row-rate-bound gather, flat in width — k feeds dq, v feeds dα)
+        kv_e = jnp.concatenate([k_full, v_full], axis=-1)[bs0.reshape(-1)]
+        v_e = kv_e[:, d:].reshape(bs0.shape + (d,))
+
         # dα then the softmax Jacobian (row sums without scatter)
         dalpha = (
             jnp.sum(
                 g_blk[dst_local].astype(jnp.float32)
-                * v_full[bs0].astype(jnp.float32),
+                * v_e.astype(jnp.float32),
                 axis=-1,
             )
             * valid
@@ -375,9 +386,10 @@ def _ptc_bwd_impl(pg: PartitionedGraph, lp, x, alpha, g, mesh):
         row_s = _blocked_rowsum(alpha * dalpha, bl0, brb0, R, n_rb)
         dlogit = alpha * (dalpha - row_s[dst_local]) * valid
 
-        # dq over the fwd structure (k gathered by global src)
+        # dq over the fwd structure (k pre-gathered above)
         dq_rows = blocked_sum_arrays(
-            k_full, bs0, dlogit * inv_sqrt_d, bl0, brb0, R, rows
+            None, bs0, dlogit * inv_sqrt_d, bl0, brb0, R, rows,
+            feats=kv_e[:, :d],
         ).astype(cdt)
 
         # per-edge scalars to bwd layout: one scalar all_gather + slot map
@@ -389,12 +401,15 @@ def _ptc_bwd_impl(pg: PartitionedGraph, lp, x, alpha, g, mesh):
         dlog_bwd = dlog_full[nmap0] * nvalid
         alpha_bwd = a_flat[nmap0] * nvalid
 
-        # dk / dv over the bwd (src-sharded) structure
+        # dk / dv over the bwd (src-sharded) structure — q and dout share
+        # the bwd indices, so again one widened gather serves both
+        qg_e = jnp.concatenate([q_full, g_full], axis=-1)[nbs0.reshape(-1)]
         dk_rows = blocked_sum_arrays(
-            q_full, nbs0, dlog_bwd * inv_sqrt_d, nbl0, nbrb0, R, rows
+            None, nbs0, dlog_bwd * inv_sqrt_d, nbl0, nbrb0, R, rows,
+            feats=qg_e[:, :d],
         ).astype(cdt)
         dv_rows = blocked_sum_arrays(
-            g_full, nbs0, alpha_bwd, nbl0, nbrb0, R, rows
+            None, nbs0, alpha_bwd, nbl0, nbrb0, R, rows, feats=qg_e[:, d:]
         ).astype(cdt)
 
         # parameter gradients: per-shard partials, psum'ed to replicated
