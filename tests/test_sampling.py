@@ -80,9 +80,12 @@ def test_sample_perm_copy_semantics(rng):
     # permutations of the pool, not new pairings — negative_sample.py:61-76)
     pool = {tuple(p) for p in np.asarray(pairs)}
     assert all(tuple(r) in pool for r in flat)
-    # each copy is a permutation: multiset of pairs preserved per copy block
-    first_block = flat[:20 * 4].reshape(20, 4, 2)
-    chunked = np.asarray(out).reshape(-1, 2)[: 20], np.asarray(out).reshape(-1, 2)[20:40]
+    # each copy block is a whole-pool permutation: multiset preserved
+    # out.reshape(-1, 2) restores the concatenated [pool; perm1; perm2; ...]
+    # order, so consecutive 20-row blocks are the permutation copies
+    blocks = np.asarray(out).reshape(-1, 2).reshape(4, 20, 2)
+    for b in range(4):
+        assert {tuple(r) for r in blocks[b]} == pool
 
 
 def test_global_perm_neg_sample(rng):
