@@ -439,16 +439,23 @@ class Model:
             lambda c: self._predict_chunk_impl(params, h, c), chunks
         )
 
-    def batch_predict(self, params, h, edges: jnp.ndarray, mesh=None) -> np.ndarray:
+    def batch_predict(self, params, h, edges: jnp.ndarray, mesh=None) -> jnp.ndarray:
         """Chunked pair scoring — reference batch_predict (model.py:175-182).
 
         With ``mesh``, chunks are sharded over the 'data' axis and each
         device lax.maps its own share (data-parallel eval for the 86M-pair
-        citation2 sets); without, a single-device lax.map."""
+        citation2 sets); without, a single-device lax.map.
+
+        Returns a DEVICE array: predictions feed straight into the jitted
+        Hits@K/MRR metrics.  (The reference copies each chunk to CPU,
+        model.py:180, because the OGB evaluator is NumPy — here a
+        device->host round trip of the 344 MB citation2 prediction sets
+        would dominate eval, so only the final metric scalars leave the
+        device.)"""
         bs = self.cfg.eval_batch_size or self.cfg.batch_size
         m = edges.shape[0]
         if m == 0:
-            return np.zeros((0,), np.float32)
+            return jnp.zeros((0,), jnp.float32)
         nchunks = max(1, -(-m // bs))
         if mesh is not None:
             ndata = mesh.shape.get("data", 1)
@@ -461,7 +468,7 @@ class Model:
             out = self._predict_sharded(params, h, chunks, mesh)
         else:
             out = self._predict_mapped(params, h, chunks)
-        return np.asarray(out.reshape(-1)[:m])
+        return out.reshape(-1)[:m]
 
     def _predict_sharded(self, params, h, chunks, mesh):
         from jax.sharding import PartitionSpec as P
