@@ -355,3 +355,63 @@ def test_block_rows_autotune_smoke():
         log=lambda *_: None,
     )
     assert all(lg.results[0] for lg in loggers.values())
+
+
+def test_ogb_citation2_layout_end_to_end(tmp_path):
+    """Fabricated ogbl-citation2 on-disk layout (directed edges, node feats,
+    source/target/target_node_neg splits) through the FULL CLI pipeline:
+    loader -> symmetrize -> GCN normalize -> train -> MRR eval."""
+    import gzip
+
+    import torch
+
+    rng = np.random.default_rng(0)
+    n, e, p, negs = 60, 400, 30, 20
+    base = tmp_path / "ogbl_citation2"
+    (base / "raw").mkdir(parents=True)
+    (base / "split" / "time").mkdir(parents=True)
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    with gzip.open(base / "raw" / "edge.csv.gz", "wt") as f:
+        for u, v in zip(src, dst):
+            f.write(f"{u},{v}\n")
+    with gzip.open(base / "raw" / "num-node-list.csv.gz", "wt") as f:
+        f.write(f"{n}\n")
+    feats = rng.standard_normal((n, 8)).astype(np.float32)
+    with gzip.open(base / "raw" / "node-feat.csv.gz", "wt") as f:
+        for row in feats:
+            f.write(",".join(f"{v:.6f}" for v in row) + "\n")
+    torch.save(
+        {
+            "source_node": torch.tensor(src[:p].astype(np.int64)),
+            "target_node": torch.tensor(dst[:p].astype(np.int64)),
+        },
+        base / "split" / "time" / "train.pt",
+    )
+    for name in ("valid", "test"):
+        torch.save(
+            {
+                "source_node": torch.tensor(src[:p].astype(np.int64)),
+                "target_node": torch.tensor(dst[:p].astype(np.int64)),
+                "target_node_neg": torch.tensor(
+                    rng.integers(0, n, (p, negs)).astype(np.int64)
+                ),
+            },
+            base / "split" / "time" / f"{name}.pt",
+        )
+
+    args = _args(
+        data_name="ogbl-citation2",
+        data_path=str(tmp_path),
+        use_node_feats=True,
+        encoder="GCN",
+        eval_metric="mrr",
+        neg_sampler="local",
+        num_neg=2,
+        epochs=2,
+        batch_size=64,
+    )
+    loggers = run_experiment(args, log=lambda *_: None)
+    assert "MRR" in loggers and loggers["MRR"].results[0]
+    for v, t in loggers["MRR"].results[0]:
+        assert 0.0 <= v <= 1.0 and 0.0 <= t <= 1.0
