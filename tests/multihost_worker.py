@@ -77,4 +77,36 @@ exp_w2 = w - 0.1 * (2.0 / B) * (X.T @ resid)
 np.testing.assert_allclose(float(l), exp_loss, rtol=1e-5)
 got_w2 = np.asarray(list(w2.addressable_shards)[0].data)
 np.testing.assert_allclose(got_w2, exp_w2, rtol=1e-4, atol=1e-5)
-print(f"OK pid={pid} loss={float(l):.6f}")
+
+# ---- phase 2: the package's partitioned SpMM across BOTH processes ----
+# (shard_map all_gather rides the gloo cross-process collectives)
+from plnlp_tpu.graph import build_graph
+from plnlp_tpu.ops.spmm import spmm_segment
+from plnlp_tpu.parallel.graph_parallel import GraphParallel, partitioned_spmm
+from plnlp_tpu.parallel.partition import partition_graph
+
+n, d = 64, 8
+g_rng = np.random.default_rng(7)
+src = g_rng.integers(0, n, 400)
+dst = g_rng.integers(0, n, 400)
+xw = g_rng.standard_normal((n, d)).astype(np.float32)
+pg = partition_graph(src, dst, None, num_nodes=n, num_shards=4, block=(8, 64))
+gmesh = Mesh(np.array(jax.devices()), ("node",))
+gp = GraphParallel(pg=pg, mesh=gmesh)
+xp = np.zeros((pg.padded_nodes, d), np.float32)
+xp[:n] = xw
+rows = pg.rows_per_shard
+lo = pid * 2 * rows  # this process owns 2 of the 4 shards
+xg2 = jax.make_array_from_process_local_data(
+    NamedSharding(gmesh, P("node", None)), xp[lo : lo + 2 * rows]
+)
+out = jax.jit(lambda x: partitioned_spmm(gp, x, "sum"))(xg2)
+# each process checks ITS OWN rows against the single-device oracle
+g_single = build_graph(src, dst, None, num_nodes=n)
+expect = np.asarray(spmm_segment(g_single, jnp.asarray(xw), "sum"))
+for shard in out.addressable_shards:
+    r0 = shard.index[0].start or 0
+    rows_here = np.asarray(shard.data)
+    ref = expect[r0 : r0 + rows_here.shape[0]]
+    np.testing.assert_allclose(rows_here[: ref.shape[0]], ref, rtol=1e-4, atol=1e-5)
+print(f"OK pid={pid} loss={float(l):.6f} spmm_ok=1")
