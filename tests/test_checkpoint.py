@@ -74,3 +74,23 @@ def test_retention(tmp_path, rng):
     assert mgr.latest_step() == 3
     with pytest.raises(Exception):
         mgr.restore(step=1)
+
+
+def test_roundtrip_with_sharded_state(tmp_path, rng):
+    """Save params/opt-state placed on an 8-device mesh (emb sharded over
+    'node'); restore into a fresh replica and verify exact values — the
+    sharded-embedding-aware layout SURVEY §5 calls for."""
+    from plnlp_tpu.parallel import make_mesh
+    from plnlp_tpu.parallel.sharded import shard_state
+
+    model, params, opt_state, g, src, dst = _state(rng)
+    mesh = make_mesh(data=1, node=8)
+    sp, so = shard_state(model, mesh, params, opt_state)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(3, sp, so, {"epoch": 3})
+    p2, o2, e2 = mgr.restore(template={"params": params, "opt_state": opt_state})
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert e2["epoch"] == 3
