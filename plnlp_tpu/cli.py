@@ -143,6 +143,11 @@ def argument(argv=None):
         help="JAX PRNG implementation; rbg is ~10x faster for the big "
         "dropout masks on TPU (threefry costs ~13ms/step at ddi scale)",
     )
+    parser.add_argument(
+        "--max_restarts", type=int, default=0,
+        help="supervise the run: on failure, restart from the latest "
+        "checkpoint up to this many times (needs --checkpoint_dir)",
+    )
     parser.add_argument("--reset_optimizer", type=str2bool, default=False,
                         help="re-init optimizer state per run (the reference "
                         "carries Adam moments across runs, model.py:85-96)")
@@ -647,6 +652,10 @@ def main(argv=None):
     if getattr(args, "prng_impl", None):
         jax.config.update("jax_default_prng_impl", args.prng_impl)
     print(args)
+    if getattr(args, "max_restarts", 0) > 0:
+        from plnlp_tpu.resilience import run_resilient
+
+        return run_resilient(args, max_restarts=args.max_restarts)
     return run_experiment(args)
 
 
