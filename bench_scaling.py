@@ -102,6 +102,7 @@ def main():
                             else None
                         ),
                         "halo_quota": pg.halo_quota,
+                        "halo_hubs": pg.halo_hubs,
                     }
                 )
             )
