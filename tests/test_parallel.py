@@ -93,11 +93,49 @@ def test_sharded_step_matches_single_device(setup, data, node):
         jnp.asarray(1e-2, jnp.float32), jax.random.PRNGKey(42),
     )
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
-    for a, b in zip(
-        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)
+    # Gradient-level parity is the tight check: the sharded layout only
+    # changes batch-axis reduction ORDER, so grads must agree to f32
+    # cancellation noise (atol covers ~128 O(1)-term cancellations).
+    loss_of = lambda p, g_, pos_, neg_: model._loss_impl(
+        p, g_, None, None, pos_, neg_, None, mask, jax.random.PRNGKey(42)
+    )
+    grads = jax.grad(loss_of)(
+        jax.tree_util.tree_map(jnp.asarray, _copy(params)), g, pos, neg
+    )
+    sp_g, _ = shard_state(
+        model, mesh, jax.tree_util.tree_map(jnp.asarray, _copy(params)),
+        model.init_opt_state(params),
+    )
+    sgrads = jax.jit(jax.grad(loss_of))(sp_g, sg, spos, sneg)
+    for (path, ga), gb in zip(
+        jax.tree_util.tree_flatten_with_path(grads)[0],
+        jax.tree_util.tree_leaves(sgrads),
     ):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-5,
+            err_msg=f"grad {jax.tree_util.keystr(path)}",
+        )
+    # Param-level parity after ONE Adam step: Adam rescales each grad by
+    # 1/sqrt(v), so a direction whose ANALYTIC gradient is zero (e.g. the
+    # final predictor bias under pairwise AUC losses — it cancels in
+    # pos-neg) turns reduction-order noise into a full ±lr step.  Those
+    # noise-driven directions are excluded; everything with a real
+    # gradient must match tightly.
+    for (path, a), b, gl in zip(
+        jax.tree_util.tree_flatten_with_path(p1)[0],
+        jax.tree_util.tree_leaves(p2),
+        jax.tree_util.tree_leaves(grads),
+    ):
+        a, b, gl = np.asarray(a), np.asarray(b), np.asarray(gl)
+        real = np.abs(gl) > 1e-5
+        np.testing.assert_allclose(
+            a[real], b[real], rtol=1e-4, atol=1e-6,
+            err_msg=f"{jax.tree_util.keystr(path)} (significant-grad entries)",
+        )
+        # Noise directions still move by at most one Adam step either way.
+        np.testing.assert_allclose(
+            a[~real], b[~real], atol=2.5e-2,
+            err_msg=f"{jax.tree_util.keystr(path)} (zero-grad entries)",
         )
 
 
