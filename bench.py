@@ -57,13 +57,18 @@ def main():
     )
     v, gr = spmm_f(xs)
     float(v)  # compile + sync (block_until_ready lies on axon)
-    ts = []
-    for _ in range(7):
-        t0 = time.time()
-        v, gr = spmm_f(xs)
-        float(v)
-        ts.append(time.time() - t0)
-    sp_dt = float(np.median(ts))
+    # Time a DEPENDENT chain of steps with ONE readback at the end: the
+    # tunnel's device->host round trip costs ~40 ms, so a per-rep float()
+    # sync would overstate a ~60-100 ms kernel by ~40%.  The scalar
+    # dependence (xs + 0*v) forces strict sequencing on device.
+    sp_iters = 8
+    t0 = time.time()
+    xi = xs
+    for _ in range(sp_iters):
+        v, gr = spmm_f(xi)
+        xi = xs + 0.0 * v
+    float(v)
+    sp_dt = (time.time() - t0) / sp_iters
     sp_eps = sg.num_edges * 2 / sp_dt
     print(
         json.dumps(
