@@ -39,6 +39,37 @@ def main():
     from plnlp_tpu.graph import prepare_graph
     from plnlp_tpu.training import Model, ModelConfig
 
+    # ---- chip-health diagnostic: raw XLA row-gather rate ----
+    # The shared chip + tunnel shows up to ~3x day-to-day variance, and the
+    # sparse metric below is gather-bound — this line gives the reader the
+    # raw gather rate of THIS run's chip-day so bench numbers from
+    # different days can be compared honestly (RESULTS.md "gather wall").
+    g_rng = np.random.default_rng(7)  # separate stream: keep the sparse
+    gn, ge, gd = 236_000, 2_600_000, 256  # graph below byte-identical
+    gx = jax.random.normal(jax.random.PRNGKey(2), (gn, gd), jnp.float32)
+    gidx = jnp.asarray(g_rng.integers(0, gn, ge).astype(np.int32))
+    gf = jax.jit(lambda x: x + 0.0 * jnp.sum(x[gidx], axis=0))
+    xg = gf(gx)
+    float(jnp.sum(xg))
+    g_iters = 8
+    t0 = time.time()
+    xg = gx
+    for _ in range(g_iters):
+        xg = gf(xg)
+    float(jnp.sum(xg))
+    g_dt = (time.time() - t0) / g_iters
+    print(
+        json.dumps(
+            {
+                "metric": "xla_row_gather_rate_rows_per_sec",
+                "value": round(ge / g_dt),
+                "unit": f"rows/s (raw {ge}-row D={gd} f32 gather — chip-day "
+                f"health reference; round-1/2 range 59-125M)",
+                "vs_baseline": round((ge / g_dt) / 74e6, 3),
+            }
+        )
+    )
+
     # ---- sparse-path metric: collab-scale blocked-CSR SpMM fwd+bwd ----
     from plnlp_tpu.ops.spmm import spmm_blocked
 
@@ -56,6 +87,11 @@ def main():
         jax.value_and_grad(lambda x: jnp.sum(spmm_blocked(sg, sgt, x, "sum") ** 2))
     )
     v, gr = spmm_f(xs)
+    # Warm up the CHAIN too, not just spmm_f: the eager `xs + 0.0 * v` ops
+    # compile lazily, and over the tunnel that compile costs ~0.8 s — left
+    # unwarmed it lands inside the first timed loop and inflated the
+    # round-2 bench ~2x (measured: first loop 190 ms/iter, steady 85).
+    v, gr = spmm_f(xs + 0.0 * v)
     float(v)  # compile + sync (block_until_ready lies on axon)
     # Time a DEPENDENT chain of steps with ONE readback at the end: the
     # tunnel's device->host round trip costs ~40 ms, so a per-rep float()

@@ -243,6 +243,13 @@ class Model:
         # Score pos and neg pairs in ONE predictor call: two fused gathers
         # instead of four and a single larger MXU batch (row-count is what
         # the gather costs; op count and matmul batching still matter).
+        # NB: factoring the local sampler's shared source row out of the
+        # gather (reusing the positive rows, 37.5% fewer gathered/scattered
+        # rows at num_neg=3) was measured OUT on v5e: every variant
+        # (broadcast product, separate matmuls, fused gather+slices) lost
+        # 3-11 ms to this generic form because XLA:TPU fuses the
+        # gather->compute->scatter chain here better than any manual
+        # row-dedup graph — see RESULTS.md "pair-scoring wall".
         del k_neg  # one rng drives the fused batch's dropout masks
         b = pos.shape[0]
         all_pairs = jnp.concatenate([pos, neg.reshape(-1, 2)], axis=0)

@@ -282,3 +282,21 @@ def test_param_count():
     model = Model(cfg, num_nodes=10)
     # emb 10*4 + SAGE layer (lin_l 4*4+4, lin_r 4*4) + MLP [4->1] (4+1)
     assert model.param_count() == 40 + (16 + 4 + 16) + (4 + 1)
+
+
+def test_local_sampler_epoch_still_learns(rng):
+    """End-to-end: train_epoch with the local sampler (factored path) runs
+    and decreases the loss."""
+    model, params, opt_state, g, pos = _setup(
+        rng, neg_sampler="local", num_neg=3
+    )
+    losses = []
+    key = jax.random.PRNGKey(5)
+    for i in range(6):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = model.train_epoch(
+            params, opt_state, g, None, None, pos, None, k, 1e-2
+        )
+        losses.append(loss)
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(l) for l in losses)
