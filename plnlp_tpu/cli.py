@@ -580,6 +580,20 @@ def run_experiment(args, log=print):
                     pos_mask=pos_mask,
                 )
             epoch_s = meter.stop(pos.shape[0])
+            if getattr(args, "profile_dir", "") and run == 0 and epoch == 2:
+                # Emit the top device ops from the captured epoch so the
+                # breakdown lands in the text log without TensorBoard.
+                try:
+                    from plnlp_tpu.profiling import summarize_trace
+
+                    for row in summarize_trace(args.profile_dir, top=10):
+                        emit(
+                            f"[profile] {row['total_ms']:9.3f} ms "
+                            f"x{row['count']:<4d} {row['name']}  "
+                            f"{row['hlo'][:80]}"
+                        )
+                except Exception as exc:  # format varies across jax builds
+                    emit(f"[profile] trace summary unavailable: {exc!r}")
             metrics.write(
                 run=run,
                 epoch=epoch,

@@ -10,13 +10,20 @@ XLA/TPU traces viewable in TensorBoard/Perfetto.
 from __future__ import annotations
 
 import contextlib
+import glob
+import gzip
 import json
 import math
 import os
 import time
-from typing import Optional
+from typing import Dict, List, Optional
 
-__all__ = ["ThroughputMeter", "MetricsWriter", "profile_trace"]
+__all__ = [
+    "ThroughputMeter",
+    "MetricsWriter",
+    "profile_trace",
+    "summarize_trace",
+]
 
 
 class ThroughputMeter:
@@ -84,3 +91,58 @@ def profile_trace(log_dir: Optional[str]):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def summarize_trace(log_dir: str, top: int = 20) -> List[Dict]:
+    """Aggregate per-op device time from a :func:`profile_trace` capture.
+
+    Parses the newest ``*.trace.json.gz`` under ``log_dir`` (the Chrome-trace
+    export jax.profiler writes next to the xplane proto — verified working
+    over the axon TPU tunnel) and returns the top ops by total device time::
+
+        [{"name", "device", "count", "total_ms", "mean_ms", "hlo"}, ...]
+
+    ``hlo`` is the HLO long-name when present — it identifies what a
+    ``fusion.N`` actually is (e.g. the pair-scoring scatter-add shows up as
+    ``f32[4267,256] fusion(s32[262144] ...)``).  Host-side Python frames are
+    excluded; only device lanes (``/device:``) are counted.
+    """
+    traces = sorted(
+        glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"),
+                  recursive=True),
+        key=os.path.getmtime,
+    )
+    if not traces:
+        raise FileNotFoundError(f"no *.trace.json.gz under {log_dir}")
+    with gzip.open(traces[-1]) as f:
+        events = json.load(f).get("traceEvents", [])
+    proc_names = {
+        e["pid"]: e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    agg: Dict = {}
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        device = proc_names.get(e.get("pid"), "")
+        if "/device:" not in device:
+            continue
+        key = (device, e.get("name", "?"))
+        row = agg.setdefault(
+            key,
+            {
+                "name": key[1],
+                "device": device,
+                "count": 0,
+                "total_ms": 0.0,
+                "hlo": str(e.get("args", {}).get("long_name", ""))[:120],
+            },
+        )
+        row["count"] += 1
+        row["total_ms"] += e.get("dur", 0) / 1e3
+    rows = sorted(agg.values(), key=lambda r: -r["total_ms"])[:top]
+    for r in rows:
+        r["total_ms"] = round(r["total_ms"], 3)
+        r["mean_ms"] = round(r["total_ms"] / max(r["count"], 1), 3)
+    return rows
