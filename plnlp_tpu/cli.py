@@ -159,8 +159,10 @@ def argument(argv=None):
     )
     parser.add_argument(
         "--mesh_data", type=int, default=1,
-        help="size of the 'data' mesh axis (pair-batch data parallelism); "
-        "num_shards × mesh_data must not exceed the device count",
+        help="size of the 'data' mesh axis: training pair batches and eval "
+        "scoring chunks are sharded over it (works alone or combined with "
+        "--num_shards); num_shards × mesh_data must not exceed the device "
+        "count",
     )
     parser.add_argument(
         "--partition_comm", type=str, default="all_gather",
@@ -328,19 +330,23 @@ def prepare_experiment(args):
         args.block_rows, args.block_edges = autotune_block(
             surg["adj_src"], surg["adj_dst"], surg["adj_weight"],
             num_nodes=num_nodes, dim=args.gnn_hidden_channels,
+            block_edges=args.block_edges,
             dtype=getattr(args, "compute_dtype", "float32"), log=print,
         )
         print(f"autotuned block = ({args.block_rows}, {args.block_edges})")
     elif args.block_rows == 0:
         args.block_rows = 512
+    mesh_data = getattr(args, "mesh_data", 1) or 1
+    if num_shards > 1 or mesh_data > 1:
+        from plnlp_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=mesh_data, node=max(num_shards, 1))
     if num_shards > 1:
         # Multi-chip: destination rows + embedding table sharded over the
         # 'node' mesh axis; the same Model/step code runs unchanged because
         # GraphParallel is a drop-in aggregation operand (graph_parallel.py).
-        from plnlp_tpu.parallel import make_mesh
         from plnlp_tpu.parallel.graph_parallel import make_graph_parallel
 
-        mesh = make_mesh(data=getattr(args, "mesh_data", 1), node=num_shards)
         graph = make_graph_parallel(
             surg["adj_src"],
             surg["adj_dst"],
@@ -351,28 +357,11 @@ def prepare_experiment(args):
             comm=getattr(args, "partition_comm", "all_gather"),
         )
         graph_t = None
-        # Replicated CSR twin for negative-sampler exclusion + random walks
-        # (host-built once; cheap relative to the partitioned structure).
-        sample_graph, _ = prepare_graph(
-            surg["adj_src"],
-            surg["adj_dst"],
-            surg["adj_weight"],
-            num_nodes=num_nodes,
-            block=None,
-        )
     elif use_dense:
         graph = prepare_dense(
             surg["adj_src"], surg["adj_dst"], surg["adj_weight"], num_nodes=num_nodes
         )
         graph_t = None
-        # CSR twin for negative-sampler exclusion + random walks.
-        sample_graph, _ = prepare_graph(
-            surg["adj_src"],
-            surg["adj_dst"],
-            surg["adj_weight"],
-            num_nodes=num_nodes,
-            block=None,
-        )
     else:
         graph, graph_t = prepare_graph(
             surg["adj_src"],
@@ -381,6 +370,17 @@ def prepare_experiment(args):
             num_nodes=num_nodes,
             block=(args.block_rows, args.block_edges),
         )
+    if num_shards > 1 or use_dense:
+        # Replicated CSR twin for negative-sampler exclusion + random walks
+        # (host-built once; cheap relative to the main structure).
+        sample_graph, _ = prepare_graph(
+            surg["adj_src"],
+            surg["adj_dst"],
+            surg["adj_weight"],
+            num_nodes=num_nodes,
+            block=None,
+        )
+    else:
         sample_graph = graph
 
     pretrain_emb = None
@@ -578,6 +578,7 @@ def run_experiment(args, log=print):
                     cur_lr,
                     sample_graph=sample_graph,
                     pos_mask=pos_mask,
+                    mesh=mesh,
                 )
             epoch_s = meter.stop(pos.shape[0])
             if getattr(args, "profile_dir", "") and run == 0 and epoch == 2:

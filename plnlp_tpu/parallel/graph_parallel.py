@@ -359,7 +359,6 @@ def _ptc_bwd_impl(pg: PartitionedGraph, lp, x, alpha, g, mesh):
         a_full = jax.lax.all_gather(a_blk, "node", axis=0, tiled=True)
         a_flat = a_full.reshape(-1)  # (S*nblk_f*B,)
 
-        q_blk = jnp.dot(x_blk, wq, preferred_element_type=cdt) + bq
         q_full = jnp.dot(x_full, wq, preferred_element_type=cdt) + bq
         k_full = jnp.dot(x_full, wk, preferred_element_type=cdt) + bk
         v_full = jnp.dot(x_full, wv, preferred_element_type=cdt) + bv

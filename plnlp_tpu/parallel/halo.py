@@ -61,22 +61,11 @@ def _csr_blocks(src_ids, dst_local, w, rows: int, R: int, B: int):
 
 
 def _stack_padded(blocks: List[dict], rows: int, R: int) -> Dict[str, np.ndarray]:
-    nblk = max(b["blk_src"].shape[0] for b in blocks)
-    nrb = rows // R
+    # Shared padding convention (weight-0 sub-blocks on the LAST rowblock to
+    # preserve sortedness) lives in partition.stack_padded_blocks.
+    from plnlp_tpu.parallel.partition import stack_padded_blocks
 
-    def pad(b):
-        p = nblk - b["blk_src"].shape[0]
-        return {
-            "blk_src": np.pad(b["blk_src"], ((0, p), (0, 0))),
-            "blk_weight": np.pad(b["blk_weight"], ((0, p), (0, 0))),
-            "blk_local": np.pad(b["blk_local"], ((0, p), (0, 0))),
-            "blk_rowblock": np.pad(
-                b["blk_rowblock"], (0, p), constant_values=nrb - 1
-            ),
-        }
-
-    padded = [pad(b) for b in blocks]
-    return {k: np.stack([b[k] for b in padded]) for k in padded[0]}
+    return stack_padded_blocks(blocks, rows, R)
 
 
 def build_halo_plan(

@@ -157,14 +157,23 @@ def _shard_blocks(
             "num_edges": int(len(ls)),
         }
         shard_meta.append(_blocks_np(csr, R, B))
-    nblk = max(m["blk_src"].shape[0] for m in shard_meta)
+    return stack_padded_blocks(shard_meta, rows_per_shard, R)
+
+
+def stack_padded_blocks(blocks, rows_per_shard: int, R: int):
+    """Stack per-shard block metadata, padding every shard to a common nblk.
+
+    PADDING CONVENTION (shared with parallel.halo — change both or neither):
+    padding sub-blocks carry weight 0 (so they contribute nothing) and are
+    assigned to the LAST local rowblock, keeping ``blk_rowblock`` sorted for
+    ``indices_are_sorted`` segment sums downstream.
+    """
+    nblk = max(m["blk_src"].shape[0] for m in blocks)
     nrb_local = rows_per_shard // R
 
     def pad(m):
         p = nblk - m["blk_src"].shape[0]
         return {
-            # padding sub-blocks: weight 0, assigned to the LAST rowblock to
-            # keep blk_rowblock sorted
             "blk_src": np.pad(m["blk_src"], ((0, p), (0, 0))),
             "blk_weight": np.pad(m["blk_weight"], ((0, p), (0, 0))),
             "blk_local": np.pad(m["blk_local"], ((0, p), (0, 0))),
@@ -173,7 +182,7 @@ def _shard_blocks(
             ),
         }
 
-    padded = [pad(m) for m in shard_meta]
+    padded = [pad(m) for m in blocks]
     return {
         k: np.stack([m[k] for m in padded]) for k in padded[0]
     }

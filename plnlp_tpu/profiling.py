@@ -117,7 +117,7 @@ def summarize_trace(log_dir: str, top: int = 20) -> List[Dict]:
     with gzip.open(traces[-1]) as f:
         events = json.load(f).get("traceEvents", [])
     proc_names = {
-        e["pid"]: e["args"].get("name", "")
+        e["pid"]: e.get("args", {}).get("name", "")
         for e in events
         if e.get("ph") == "M" and e.get("name") == "process_name"
     }

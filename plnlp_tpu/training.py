@@ -168,6 +168,7 @@ class Model:
         self._encode = jax.jit(self._encode_impl)
         self._predict_chunk = jax.jit(self._predict_chunk_impl)
         self._predict_mapped = jax.jit(self._predict_mapped_impl)
+        self._sharded_predict_fns: Dict[Any, Any] = {}
 
     # -- parameters ---------------------------------------------------------
 
@@ -341,6 +342,7 @@ class Model:
         sample_graph: Optional[Graph] = None,
         num_pos: Optional[int] = None,
         pos_mask: Optional[jnp.ndarray] = None,
+        mesh=None,
     ):
         """One epoch — reference BaseModel.train (model.py:128-173).
 
@@ -381,6 +383,19 @@ class Model:
         num_batches = max(1, math.ceil(p_real / b))
         step_keys = jax.random.split(k_steps, num_batches)
         lr_arr = jnp.asarray(lr, jnp.float32)
+        # Pair-batch data parallelism: with a mesh whose 'data' axis > 1,
+        # place each batch sharded over 'data' so XLA SPMD splits the pair
+        # scoring (the step's dominant cost) across those devices.  Sharding
+        # is value-neutral — losses match the replicated run exactly.
+        shard_b = None
+        if mesh is not None and mesh.shape.get("data", 1) > 1:
+            ndata = mesh.shape["data"]
+            if b % ndata == 0:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                def shard_b(x, spec_dims):
+                    spec = PartitionSpec("data", *([None] * spec_dims))
+                    return jax.device_put(x, NamedSharding(mesh, spec))
         losses = []
         counts = []
         for i in range(num_batches):
@@ -397,6 +412,11 @@ class Model:
             pos_b = jax.lax.dynamic_slice_in_dim(pos_edges, lo, b)
             neg_b = jax.lax.dynamic_slice_in_dim(neg_edges, lo, b)
             w_b = jax.lax.dynamic_slice_in_dim(weights, lo, b)
+            if shard_b is not None:
+                pos_b = shard_b(pos_b, 1)
+                neg_b = shard_b(neg_b, 2)
+                w_b = shard_b(w_b, 0)
+                mask = shard_b(mask, 0)
             params, opt_state, loss = self._train_step(
                 params,
                 opt_state,
@@ -482,24 +502,32 @@ class Model:
         return out.reshape(-1)[:m]
 
     def _predict_sharded(self, params, h, chunks, mesh):
-        from jax.sharding import PartitionSpec as P
+        # Cache the jitted shard_map per mesh: rebuilding the closure every
+        # call would defeat the jit cache and recompile on each of the 4
+        # batch_predict calls per eval epoch.
+        fn = self._sharded_predict_fns.get(mesh)
+        if fn is None:
+            from jax.sharding import PartitionSpec as P
 
-        def body(params, h, chunks_local):
-            return jax.lax.map(
-                lambda c: self._predict_chunk_impl(params, h, c), chunks_local
-            )
+            def body(params, h, chunks_local):
+                return jax.lax.map(
+                    lambda c: self._predict_chunk_impl(params, h, c),
+                    chunks_local,
+                )
 
-        # params and h replicated (h may arrive node-sharded from a
-        # GraphParallel encode — pairs index arbitrary rows, so scoring
-        # wants the full table per device); chunks split over 'data'.
-        return jax.jit(
-            jax.shard_map(
-                body,
-                mesh=mesh,
-                in_specs=(P(), P(), P("data", None, None)),
-                out_specs=P("data", None),
+            # params and h replicated (h may arrive node-sharded from a
+            # GraphParallel encode — pairs index arbitrary rows, so scoring
+            # wants the full table per device); chunks split over 'data'.
+            fn = jax.jit(
+                jax.shard_map(
+                    body,
+                    mesh=mesh,
+                    in_specs=(P(), P(), P("data", None, None)),
+                    out_specs=P("data", None),
+                )
             )
-        )(params, h, chunks)
+            self._sharded_predict_fns[mesh] = fn
+        return fn(params, h, chunks)
 
     def test(
         self,

@@ -32,7 +32,8 @@ def autotune_block(
     num_nodes: int,
     dim: int,
     symmetrize: bool = False,
-    candidates: Sequence[Tuple[int, int]] = _CANDIDATES,
+    candidates: Optional[Sequence[Tuple[int, int]]] = None,
+    block_edges: int = 512,
     iters: int = 3,
     dtype="float32",
     log=None,
@@ -48,6 +49,11 @@ def autotune_block(
 
     from plnlp_tpu.graph import prepare_graph
     from plnlp_tpu.ops.spmm import spmm_blocked
+
+    if candidates is None:
+        # Sweep R only; honor the caller's --block_edges rather than
+        # silently overriding it.
+        candidates = tuple((r, block_edges) for r, _ in _CANDIDATES)
 
     x = jax.random.normal(
         jax.random.PRNGKey(0), (num_nodes, dim), jnp.dtype(dtype)

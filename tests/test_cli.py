@@ -286,6 +286,29 @@ def test_num_shards_cli_matches_single_device():
         np.testing.assert_allclose(r1, r8, rtol=2e-3, atol=2e-3)
 
 
+def test_mesh_data_cli_matches_single_device():
+    """--mesh_data=8 WITHOUT --num_shards builds a data-only mesh: training
+    pair batches and eval chunks shard over 'data' (code-review round-2
+    finding: the flag used to be silently ignored unless num_shards>1).
+    Sharding is value-neutral, so losses/metrics match the plain run."""
+    common = dict(
+        epochs=2,
+        seed=3,
+        batch_size=256,
+        adj_backend="csr",
+        block_rows=8,
+        block_edges=128,
+        dropout=0.0,
+    )
+    l1 = run_experiment(_args(**common), log=lambda *_: None)
+    l8 = run_experiment(_args(mesh_data=8, **common), log=lambda *_: None)
+    for k in l1:
+        r1 = np.asarray(l1[k].results[0], np.float64)
+        r8 = np.asarray(l8[k].results[0], np.float64)
+        assert r1.shape == r8.shape and r1.size > 0
+        np.testing.assert_allclose(r1, r8, rtol=2e-3, atol=2e-3)
+
+
 def test_num_shards_halo_cli_smoke():
     run_experiment(
         _args(
