@@ -309,6 +309,23 @@ def test_mesh_data_cli_matches_single_device():
         np.testing.assert_allclose(r1, r8, rtol=2e-3, atol=2e-3)
 
 
+def test_mesh_data_indivisible_batch_falls_back():
+    """batch_size not divisible by the data axis: batches stay replicated
+    (eval chunks still shard) — the run must complete and stay correct."""
+    common = dict(
+        epochs=1, seed=3, batch_size=100, adj_backend="csr",
+        block_rows=8, block_edges=128, dropout=0.0,
+    )
+    l1 = run_experiment(_args(**common), log=lambda *_: None)
+    l3 = run_experiment(_args(mesh_data=3, **common), log=lambda *_: None)
+    for k in l1:
+        np.testing.assert_allclose(
+            np.asarray(l1[k].results[0], np.float64),
+            np.asarray(l3[k].results[0], np.float64),
+            rtol=2e-3, atol=2e-3,
+        )
+
+
 def test_num_shards_halo_cli_smoke():
     run_experiment(
         _args(
