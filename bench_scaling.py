@@ -23,7 +23,15 @@ def main():
     ap.add_argument("--comm", type=str, default="all_gather,halo")
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # This box's sitecustomize force-registers the axon TPU platform OVER the
+    # JAX_PLATFORMS=cpu env var; honor the env explicitly so the documented
+    # forced-multi-CPU invocation actually lands on CPU devices.
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
