@@ -1,0 +1,109 @@
+"""Inference / serving: score link candidates from a trained model.
+
+The reference has no serving path at all — after training, its predictions
+exist only inside ``BaseModel.test`` (reference model.py:175-226).  For
+production deployment this module packages the eval machinery into a
+standalone scorer: restore a checkpoint, run the full-graph encode ONCE,
+then answer arbitrary pair-scoring and candidate-ranking queries from the
+cached node representations.
+
+TPU notes: the encode is the expensive part (one full-graph pass); queries
+after it are chunked predictor calls on the MXU via the same jitted
+``batch_predict`` the eval loop uses, so serving throughput matches the
+measured eval rate (~36M pairs/s at citation2 scale, RESULTS.md).  A
+``mesh`` shards query scoring over the 'data' axis exactly like eval.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from plnlp_tpu.training import Model
+
+__all__ = ["Scorer"]
+
+
+class Scorer:
+    """Frozen-model pair scorer over a cached full-graph encoding.
+
+    ``graph``/``graph_t``/``node_feats`` must match what the model was
+    trained with (same adjacency normalization — reference main.py:177-186).
+    """
+
+    def __init__(
+        self,
+        model: Model,
+        params,
+        graph,
+        graph_t=None,
+        node_feats=None,
+        mesh=None,
+    ):
+        self.model = model
+        self.params = params
+        self.mesh = mesh
+        # Encode once in eval mode (no dropout).  Row N is the mean
+        # representation — the unseen-node convention (reference
+        # model.py:191-194), reachable by passing index -1 in queries.
+        self.h = model._encode(params, graph, graph_t, node_feats)
+
+    @classmethod
+    def from_checkpoint(
+        cls,
+        model: Model,
+        checkpoint_dir: str,
+        graph,
+        graph_t=None,
+        node_feats=None,
+        mesh=None,
+        step: Optional[int] = None,
+    ) -> "Scorer":
+        """Restore the latest (or ``step``) checkpoint saved by the trainer
+        (cli --checkpoint_dir) and build a scorer from it."""
+        import jax
+
+        from plnlp_tpu.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(checkpoint_dir)
+        params = model.init_params(jax.random.PRNGKey(0))
+        opt_state = model.init_opt_state(params)
+        params, _, _ = mgr.restore(
+            step=step, template={"params": params, "opt_state": opt_state}
+        )
+        return cls(model, params, graph, graph_t, node_feats, mesh=mesh)
+
+    def score(self, pairs) -> np.ndarray:
+        """Scores for (M, 2) int node pairs; -1 = unseen-node mean row."""
+        pairs = jnp.asarray(np.asarray(pairs, np.int32))
+        out = self.model.batch_predict(
+            self.params, self.h, pairs, mesh=self.mesh
+        )
+        return np.asarray(out)
+
+    def rank_candidates(
+        self,
+        src: int,
+        candidates: Optional[np.ndarray] = None,
+        k: int = 10,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k destination candidates for ``src`` by predicted score.
+
+        ``candidates`` defaults to every node.  Returns (node_ids, scores),
+        both sorted by descending score — the serving analog of the
+        link-prediction task the eval metrics rank.
+        """
+        if candidates is None:
+            candidates = np.arange(self.model.num_nodes, dtype=np.int32)
+        else:
+            candidates = np.asarray(candidates, np.int32)
+        pairs = np.stack(
+            [np.full_like(candidates, src), candidates], axis=1
+        )
+        scores = self.score(pairs)
+        k = min(k, len(candidates))
+        top = np.argpartition(-scores, k - 1)[:k]
+        order = top[np.argsort(-scores[top])]
+        return candidates[order], scores[order]

@@ -1,0 +1,79 @@
+"""Serving scorer: cached-encode pair scoring + candidate ranking +
+checkpoint restore round trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plnlp_tpu.graph import build_graph
+from plnlp_tpu.serve import Scorer
+from plnlp_tpu.training import Model, ModelConfig
+from tests.conftest import random_graph_np
+
+
+def _setup(rng, n=80, e=500):
+    src, dst, _ = random_graph_np(rng, n, e)
+    g = build_graph(src, dst, None, num_nodes=n)
+    cfg = ModelConfig(
+        emb_hidden_channels=16, gnn_hidden_channels=16,
+        mlp_hidden_channels=16, batch_size=64,
+    )
+    model = Model(cfg, num_nodes=n)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params, g
+
+
+def test_score_matches_model_test_path(rng):
+    """Scorer.score == the eval loop's batch_predict over the same encode."""
+    model, params, g = _setup(rng)
+    sc = Scorer(model, params, g)
+    pairs = rng.integers(0, 80, (37, 2)).astype(np.int32)
+    got = sc.score(pairs)
+    h = model._encode(params, g, None, None)
+    expect = np.asarray(model.batch_predict(params, h, jnp.asarray(pairs)))
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
+    assert got.shape == (37,)
+
+
+def test_unseen_node_resolves_to_mean_row(rng):
+    model, params, g = _setup(rng)
+    sc = Scorer(model, params, g)
+    # -1 maps to the appended mean row (reference model.py:191-194)
+    s_neg = sc.score(np.array([[-1, 3]], np.int32))
+    h = np.asarray(sc.h)
+    assert h.shape[0] == model.num_nodes + 1
+    np.testing.assert_allclose(
+        h[-1], h[:-1].mean(axis=0), rtol=1e-5, atol=1e-6
+    )
+    assert np.isfinite(s_neg).all()
+
+
+def test_rank_candidates_orders_by_score(rng):
+    model, params, g = _setup(rng)
+    sc = Scorer(model, params, g)
+    ids, scores = sc.rank_candidates(5, k=7)
+    assert len(ids) == 7 and len(scores) == 7
+    assert (np.diff(scores) <= 1e-7).all()  # descending
+    # the reported top-1 really is the argmax over all candidates
+    all_pairs = np.stack(
+        [np.full(80, 5), np.arange(80)], axis=1
+    ).astype(np.int32)
+    all_scores = sc.score(all_pairs)
+    assert np.isclose(scores[0], all_scores.max())
+    # explicit candidate subsets restrict the ranking
+    subset = np.array([2, 4, 9], np.int32)
+    ids_s, _ = sc.rank_candidates(5, candidates=subset, k=2)
+    assert set(ids_s.tolist()) <= set(subset.tolist())
+
+
+def test_from_checkpoint_round_trip(rng, tmp_path):
+    model, params, g = _setup(rng)
+    from plnlp_tpu.checkpoint import CheckpointManager
+
+    opt_state = model.init_opt_state(params)
+    CheckpointManager(str(tmp_path)).save(3, params, opt_state)
+    sc = Scorer.from_checkpoint(model, str(tmp_path), g)
+    pairs = rng.integers(0, 80, (11, 2)).astype(np.int32)
+    np.testing.assert_allclose(
+        sc.score(pairs), Scorer(model, params, g).score(pairs), rtol=1e-6
+    )
