@@ -77,3 +77,17 @@ def test_from_checkpoint_round_trip(rng, tmp_path):
     np.testing.assert_allclose(
         sc.score(pairs), Scorer(model, params, g).score(pairs), rtol=1e-6
     )
+
+
+def test_scorer_with_data_mesh(rng):
+    """Scorer with a data-axis mesh shards query scoring like eval."""
+    from plnlp_tpu.parallel import make_mesh
+
+    model, params, g = _setup(rng)
+    mesh = make_mesh(data=8, node=1)
+    sc_plain = Scorer(model, params, g)
+    sc_mesh = Scorer(model, params, g, mesh=mesh)
+    pairs = rng.integers(0, 80, (41, 2)).astype(np.int32)
+    np.testing.assert_allclose(
+        sc_mesh.score(pairs), sc_plain.score(pairs), rtol=1e-6
+    )
