@@ -114,7 +114,7 @@ def argument(argv=None):
         help="encoder/predictor matmul dtype (master weights stay f32)",
     )
     parser.add_argument(
-        "--remat", type=str2bool, default=False,
+        "--remat", type=str2bool, nargs="?", const=True, default=False,
         help="rematerialize encoder layers in the backward pass "
         "(activation memory for FLOPs; giant graphs)",
     )
@@ -132,7 +132,7 @@ def argument(argv=None):
     )
     parser.add_argument("--checkpoint_every", type=int, default=50,
                         help="epochs between checkpoints")
-    parser.add_argument("--resume", type=str2bool, default=False,
+    parser.add_argument("--resume", type=str2bool, nargs="?", const=True, default=False,
                         help="resume from the latest checkpoint in "
                         "--checkpoint_dir")
     parser.add_argument(
@@ -148,7 +148,7 @@ def argument(argv=None):
         help="supervise the run: on failure, restart from the latest "
         "checkpoint up to this many times (needs --checkpoint_dir)",
     )
-    parser.add_argument("--reset_optimizer", type=str2bool, default=False,
+    parser.add_argument("--reset_optimizer", type=str2bool, nargs="?", const=True, default=False,
                         help="re-init optimizer state per run (the reference "
                         "carries Adam moments across runs, model.py:85-96)")
     # --- multi-chip (no reference counterpart; SURVEY §2c scope) ---
