@@ -412,6 +412,10 @@ class Model:
             pos_b = jax.lax.dynamic_slice_in_dim(pos_edges, lo, b)
             neg_b = jax.lax.dynamic_slice_in_dim(neg_edges, lo, b)
             w_b = jax.lax.dynamic_slice_in_dim(weights, lo, b)
+            # Count valid pairs BEFORE sharding: eager reductions over a
+            # mesh-sharded operand abort XLA:CPU when several meshes have
+            # existed in one process, and the count is mesh-independent.
+            cnt = jnp.sum(mask)
             if shard_b is not None:
                 pos_b = shard_b(pos_b, 1)
                 neg_b = shard_b(neg_b, 2)
@@ -433,7 +437,7 @@ class Model:
             )
             # Keep loss/count on device until the end — no per-step sync.
             losses.append(loss)
-            counts.append(jnp.sum(mask))
+            counts.append(cnt)
         losses, counts = jax.device_get((losses, counts))
         total = float(sum(l * c for l, c in zip(losses, counts)))
         return params, opt_state, total / max(float(sum(counts)), 1.0)
