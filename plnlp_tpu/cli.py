@@ -166,7 +166,7 @@ def argument(argv=None):
     )
     parser.add_argument(
         "--partition_comm", type=str, default="all_gather",
-        choices=["all_gather", "halo"],
+        choices=["all_gather", "halo", "auto"],
         help="per-layer feature exchange: full all-gather or quota-padded "
         "halo all_to_all of only the boundary rows",
     )

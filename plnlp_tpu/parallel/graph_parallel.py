@@ -80,7 +80,19 @@ def make_graph_parallel(
         block=block,
         symmetrize=symmetrize,
     )
-    if comm == "halo":
+    if comm == "auto":
+        # Pick by comm volume: halo receives S*(q + qh) rows per shard per
+        # layer pass (per-peer quota + replicated hubs) vs the all-gather's
+        # full padded_nodes rows.  Building the plan is a one-time host pass.
+        from plnlp_tpu.parallel.partition import with_halo
+
+        if num_shards > 1:
+            pg_h = with_halo(pg)
+            halo_rows = num_shards * (pg_h.halo_quota + pg_h.halo_hubs)
+            if halo_rows < 0.9 * pg_h.padded_nodes:
+                return GraphParallel(pg=pg_h, mesh=mesh, comm="halo")
+        comm = "all_gather"
+    elif comm == "halo":
         from plnlp_tpu.parallel.partition import with_halo
 
         pg = with_halo(pg)

@@ -351,3 +351,32 @@ def test_partitioned_transformer_bwd_has_no_edge_feature_scatter(setup):
         and eqn.invars[2].aval.shape[-1] in (d, 16)
     ]
     assert not bad, f"edge-feature scatters survived: {bad}"
+
+
+def test_comm_auto_selection(rng):
+    """comm='auto' picks halo when the plan's volume beats the all-gather
+    (ring locality) and all_gather when boundaries touch everything."""
+    import numpy as np
+
+    from plnlp_tpu.parallel import make_mesh
+    from plnlp_tpu.parallel.graph_parallel import make_graph_parallel
+
+    mesh = make_mesh(node=4)
+    # ring: each shard only reads its two neighbors' boundary rows
+    n = 64
+    ring_src = np.arange(n, dtype=np.int64)
+    ring_dst = (ring_src + 1) % n
+    gp_ring = make_graph_parallel(
+        ring_src, ring_dst, None, num_nodes=n, mesh=mesh, block=(8, 32),
+        symmetrize=True, comm="auto",
+    )
+    assert gp_ring.comm == "halo"
+    assert gp_ring.pg.fwd_halo is not None
+
+    # dense random: boundary sets approach every remote row
+    e = 1500
+    gp_dense = make_graph_parallel(
+        rng.integers(0, n, e), rng.integers(0, n, e), None, num_nodes=n,
+        mesh=mesh, block=(8, 32), symmetrize=True, comm="auto",
+    )
+    assert gp_dense.comm == "all_gather"
