@@ -158,11 +158,7 @@ def _apply_halo(mesh, R, rows, x, plan):
     return jax.shard_map(
         body,
         mesh=mesh,
-        # check_vma: the Pallas scatter-matmul's out_shape carries no
-        # varying-mesh-axes annotation, and jax's vma validation rejects
-        # that inside shard_map on TPU backends; numerics are covered by
-        # the N-vs-1-device parity tests.
-        check_vma=False,
+        check_vma=False,  # Pallas out_shape has no vma annotation (see _apply)
         in_specs=(
             P("node", None),
             P("node", None, None),
@@ -332,11 +328,7 @@ def _ptc_fwd_impl(pg: PartitionedGraph, lp, x, mesh):
     return jax.shard_map(
         body,
         mesh=mesh,
-        # check_vma: the Pallas scatter-matmul's out_shape carries no
-        # varying-mesh-axes annotation, and jax's vma validation rejects
-        # that inside shard_map on TPU backends; numerics are covered by
-        # the N-vs-1-device parity tests.
-        check_vma=False,
+        check_vma=False,  # Pallas out_shape has no vma annotation (see _apply)
         in_specs=(
             P("node", None),
             P("node", None, None),

@@ -60,14 +60,6 @@ def _csr_blocks(src_ids, dst_local, w, rows: int, R: int, B: int):
     return _blocks_np(csr, R, B)
 
 
-def _stack_padded(blocks: List[dict], rows: int, R: int) -> Dict[str, np.ndarray]:
-    # Shared padding convention (weight-0 sub-blocks on the LAST rowblock to
-    # preserve sortedness) lives in partition.stack_padded_blocks.
-    from plnlp_tpu.parallel.partition import stack_padded_blocks
-
-    return stack_padded_blocks(blocks, rows, R)
-
-
 def build_halo_plan(
     blk_src: np.ndarray,  # (S, nblk, B) int32 GLOBAL source ids
     blk_weight: np.ndarray,  # (S, nblk, B) f32, 0 = padding
@@ -169,8 +161,12 @@ def build_halo_plan(
             )
         )
 
-    loc = _stack_padded(loc_blocks, rows_per_shard, R)
-    rem = _stack_padded(rem_blocks, rows_per_shard, R)
+    # Shared padding convention (weight-0 sub-blocks on the LAST rowblock
+    # to preserve sortedness) lives in partition.stack_padded_blocks.
+    from plnlp_tpu.parallel.partition import stack_padded_blocks
+
+    loc = stack_padded_blocks(loc_blocks, rows_per_shard, R)
+    rem = stack_padded_blocks(rem_blocks, rows_per_shard, R)
     plan = {
         "loc_src": loc["blk_src"].astype(np.int32),
         "loc_weight": loc["blk_weight"],
