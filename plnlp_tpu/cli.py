@@ -170,6 +170,16 @@ def argument(argv=None):
         help="per-layer feature exchange: full all-gather or quota-padded "
         "halo all_to_all of only the boundary rows",
     )
+    # --- serving (no reference counterpart) ---
+    parser.add_argument(
+        "--score_pairs", type=str, default="",
+        help="serving mode: skip training, restore --checkpoint_dir, score "
+        "the (M, 2) int pairs in this .npy file and exit",
+    )
+    parser.add_argument(
+        "--score_out", type=str, default="scores.npy",
+        help="output .npy for --score_pairs scores",
+    )
     return parser.parse_args(argv)
 
 
@@ -662,11 +672,36 @@ def run_experiment(args, log=print):
     return loggers
 
 
+def run_scoring(args, log=print):
+    """Serving mode (--score_pairs): restore the checkpoint, encode once,
+    score the given pairs, write the scores.  Returns the scores array."""
+    if not getattr(args, "checkpoint_dir", ""):
+        raise SystemExit("--score_pairs needs --checkpoint_dir")
+    from plnlp_tpu.serve import Scorer
+
+    exp = prepare_experiment(args)
+    sc = Scorer.from_checkpoint(
+        exp["model"],
+        args.checkpoint_dir,
+        exp["graph"],
+        exp["graph_t"],
+        exp["node_feats"],
+        mesh=exp["mesh"],
+    )
+    pairs = np.load(args.score_pairs)
+    scores = sc.score(pairs)
+    np.save(args.score_out, scores)
+    log(f"scored {len(pairs)} pairs -> {args.score_out}")
+    return scores
+
+
 def main(argv=None):
     args = argument(argv)
     if getattr(args, "prng_impl", None):
         jax.config.update("jax_default_prng_impl", args.prng_impl)
     print(args)
+    if getattr(args, "score_pairs", ""):
+        return run_scoring(args)
     if getattr(args, "max_restarts", 0) > 0:
         from plnlp_tpu.resilience import run_resilient
 

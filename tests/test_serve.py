@@ -91,3 +91,29 @@ def test_scorer_with_data_mesh(rng):
     np.testing.assert_allclose(
         sc_mesh.score(pairs), sc_plain.score(pairs), rtol=1e-6
     )
+
+
+def test_cli_scoring_mode(rng, tmp_path):
+    """--score_pairs: train with checkpoints, then score pairs from a .npy
+    through the CLI serving mode."""
+    from plnlp_tpu.cli import argument, run_experiment, run_scoring
+
+    ck = str(tmp_path / "ck")
+    base = dict(
+        data_name="synthetic:hits", epochs=1, eval_steps=1, runs=1,
+        batch_size=512, emb_hidden_channels=16, gnn_hidden_channels=16,
+        mlp_hidden_channels=16, checkpoint_dir=ck, checkpoint_every=1,
+    )
+    argv = [f"--{k}={v}" for k, v in base.items()]
+    run_experiment(argument(argv), log=lambda *_: None)
+
+    pairs = rng.integers(0, 500, (23, 2)).astype(np.int64)
+    pin = str(tmp_path / "pairs.npy")
+    pout = str(tmp_path / "scores.npy")
+    np.save(pin, pairs)
+    scores = run_scoring(
+        argument(argv + [f"--score_pairs={pin}", f"--score_out={pout}"]),
+        log=lambda *_: None,
+    )
+    assert scores.shape == (23,) and np.isfinite(scores).all()
+    np.testing.assert_allclose(np.load(pout), scores)
