@@ -53,9 +53,15 @@ class TorchOracle:
     CSR the JAX side aggregates over).
     """
 
-    def __init__(self, params, adj_dense, encoder="SAGE", predictor="MLP"):
+    def __init__(
+        self, params, adj_dense, encoder="SAGE", predictor="MLP",
+        node_feats=None,
+    ):
         self.encoder = encoder
         self.predictor = predictor
+        # Raw node features concat'd after the trainable table — the
+        # citation2 input factory (reference model.py:98-105).
+        self.feats = None if node_feats is None else _to_t(node_feats)
         self.adj = _to_t(adj_dense)
         nbrs = (self.adj != 0).sum(1)
         self.deg = nbrs.clamp(min=1).to(torch.float64).unsqueeze(1)
@@ -105,6 +111,8 @@ class TorchOracle:
 
     def encode(self):
         x = self.emb
+        if self.feats is not None:
+            x = torch.cat([x, self.feats], dim=1)
         for i, layer in enumerate(self.enc):
             x = self._conv(layer, x)
             if i < len(self.enc) - 1:
@@ -444,3 +452,55 @@ def test_forward_activation_parity(rng):
     np.testing.assert_allclose(
         np.asarray(h_jax), h_t.detach().numpy(), rtol=1e-4, atol=1e-5
     )
+
+
+def test_citation2_shape_parity(rng):
+    """The 4th README config's shape as one oracle-checked computation:
+    GCN over a normalized adjacency, input = concat([trainable emb, raw
+    node feats]) (reference create_input_feat, model.py:98-105), MLP
+    predictor, local-structured negatives with num_neg=3, AUC loss."""
+    n, emb_d, feat_d, num_neg, b = 40, 8, 12, 3, 64
+    g, adj = _build(rng, "GCN", n, emb_d)
+    feats = rng.standard_normal((n, feat_d)).astype(np.float32)
+
+    cfg = ModelConfig(
+        encoder="GCN",
+        emb_hidden_channels=emb_d,
+        gnn_hidden_channels=16,
+        mlp_hidden_channels=16,
+        batch_size=b,
+        num_neg=num_neg,
+        dropout=0.0,
+        grad_clip_norm=-1.0,
+        use_node_feats=True,
+        train_node_emb=True,
+        neg_sampler="local",
+    )
+    model = Model(cfg, num_nodes=n, num_node_feats=feat_d)
+    assert model.input_dim == emb_d + feat_d
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    oracle = TorchOracle(params, adj, "GCN", node_feats=feats)
+
+    pos = rng.integers(0, n, (b, 2)).astype(np.int32)
+    neg_dst = rng.integers(0, n, (b, num_neg)).astype(np.int32)
+    neg = np.stack(
+        [np.repeat(pos[:, :1], num_neg, axis=1), neg_dst], axis=-1
+    ).astype(np.int32)
+    mask = jnp.ones((b,), jnp.float32)
+
+    def jax_loss(p):
+        return model._loss_impl(
+            p, g, None, jnp.asarray(feats), jnp.asarray(pos),
+            jnp.asarray(neg), None, mask, jax.random.PRNGKey(99),
+        )
+
+    jloss, jgrads = jax.value_and_grad(jax_loss)(params)
+    tloss = oracle.loss(
+        torch.tensor(pos.astype(np.int64)),
+        torch.tensor(neg.astype(np.int64)),
+        num_neg,
+    )
+    tloss.backward()
+    np.testing.assert_allclose(float(jloss), float(tloss), rtol=1e-4)
+    _assert_grad_parity(jgrads, oracle)
