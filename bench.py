@@ -26,6 +26,34 @@ BASELINE_EDGES_PER_SEC = 239e6  # round-1 first measurement, dense path, f32
 BASELINE_SPARSE_EDGES_PER_SEC = 76e6  # round-1 blocked spmm fwd+bwd ~67.5 ms
 
 
+def _wait_for_backend(max_wait_s: float = 900.0) -> None:
+    """Ride out transient axon-tunnel outages (observed: multi-minute
+    UNAVAILABLE windows and post-kill wedges) instead of hanging or dying
+    on the first probe — the driver runs this unattended at round end."""
+    import jax
+    import jax.numpy as jnp
+
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            float(jnp.sum(jnp.ones((256, 256))))
+            return
+        except Exception as e:  # backend init/compile UNAVAILABLE
+            if time.time() > deadline:
+                raise RuntimeError(
+                    f"TPU backend unavailable for {max_wait_s:.0f}s"
+                ) from e
+            time.sleep(30)
+            # a failed init can be memoized — drop backend state and retry
+            try:
+                from jax.extend.backend import clear_backends
+
+                clear_backends()
+            except Exception:
+                pass
+            jax.clear_caches()
+
+
 def main():
     import jax
 
@@ -34,6 +62,8 @@ def main():
     jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
     import numpy as np
+
+    _wait_for_backend()
 
     from plnlp_tpu.dense import prepare_dense
     from plnlp_tpu.graph import prepare_graph

@@ -349,6 +349,33 @@ def _edge_mask_np(csr) -> Optional[np.ndarray]:
     return np.packbits(dense, axis=1, bitorder="little").reshape(-1)
 
 
+def _align_blocks(blocks):
+    """Keep the flat gather length nblk*B OFF multiples of 1024.
+
+    Measured on v5e (RESULTS.md "gather wall"): XLA's materializing row
+    gather runs ~1.7x SLOWER (62 vs 105-110M rows/s at collab scale) when
+    the number of gathered rows is divisible by 1024 — byte-identical
+    index content, different length, reproducible interleaved.  The
+    blocked SpMM gathers x[blk_src.reshape(-1)] (nblk*B rows), so append
+    one all-padding sub-block (weight 0, last row-block to keep
+    blk_rowblock sorted) whenever nblk*B lands on the slow residue.
+    """
+    nblk, B = blocks["blk_src"].shape
+    if B % 1024 == 0 or (nblk * B) % 1024 != 0:
+        return blocks
+    pad2 = np.zeros((1, B), np.int32)
+    blocks = dict(blocks)
+    blocks["blk_src"] = np.concatenate([blocks["blk_src"], pad2])
+    blocks["blk_weight"] = np.concatenate(
+        [blocks["blk_weight"], np.zeros((1, B), np.float32)]
+    )
+    blocks["blk_local"] = np.concatenate([blocks["blk_local"], pad2])
+    blocks["blk_rowblock"] = np.concatenate(
+        [blocks["blk_rowblock"], blocks["blk_rowblock"][-1:]]
+    ).astype(np.int32)
+    return blocks
+
+
 def _blocks_np(csr, block_rows: int, block_edges: int):
     """Blocking metadata from HOST CSR arrays (see with_blocks docstring).
 
@@ -359,7 +386,7 @@ def _blocks_np(csr, block_rows: int, block_edges: int):
 
     if native.available():
         e = csr["num_edges"]
-        return native.blocks_build(
+        return _align_blocks(native.blocks_build(
             csr["senders"][:e],
             csr["receivers"][:e],
             csr["edge_weight"][:e],
@@ -367,7 +394,7 @@ def _blocks_np(csr, block_rows: int, block_edges: int):
             csr["num_nodes"],
             R,
             B,
-        )
+        ))
     n = csr["num_nodes"]
     e = csr["num_edges"]
     indptr = csr["indptr"].astype(np.int64)
@@ -397,14 +424,14 @@ def _blocks_np(csr, block_rows: int, block_edges: int):
     blk_src[slot] = senders
     blk_w[slot] = weights
     blk_local[slot] = receivers - edge_rb * R
-    return {
+    return _align_blocks({
         "blk_src": blk_src.reshape(nblk, B),
         "blk_weight": blk_w.reshape(nblk, B),
         "blk_local": blk_local.reshape(nblk, B),
         "blk_rowblock": np.repeat(np.arange(n_rowblocks), nbs).astype(np.int32),
         "block_rows": R,
         "block_edges": B,
-    }
+    })
 
 
 def _to_graph(csr, blocks=None) -> Graph:

@@ -202,6 +202,13 @@ def _blocked_sum(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
     nblk = graph.blk_src.shape[0]
     itemsize = jnp.dtype(x.dtype).itemsize
     chunk = max(1, _CHUNK_BYTES // (B * d * itemsize))
+    # Keep each per-chunk gather length (chunk*B rows) OFF multiples of
+    # 1024 — XLA's row gather is ~1.7x slower on that residue (see
+    # graph._align_blocks).  Power-of-two feature widths land exactly
+    # there (e.g. D=256 f32 -> chunk=256).
+    if B % 1024:
+        while chunk > 1 and (chunk * B) % 1024 == 0:
+            chunk -= 1
 
     from plnlp_tpu.ops.pallas_spmm import pallas_available, scatter_matmul
 

@@ -169,6 +169,11 @@ def stack_padded_blocks(blocks, rows_per_shard: int, R: int):
     ``indices_are_sorted`` segment sums downstream.
     """
     nblk = max(m["blk_src"].shape[0] for m in blocks)
+    B = blocks[0]["blk_src"].shape[1]
+    # Keep each shard's flat gather (nblk*B rows) off the slow %1024
+    # residue (see graph._align_blocks) — re-check after taking the max.
+    if B % 1024 and (nblk * B) % 1024 == 0:
+        nblk += 1
     nrb_local = rows_per_shard // R
 
     def pad(m):

@@ -115,3 +115,52 @@ def test_spmm_blocked_chunked_path(rng, monkeypatch):
     gx = jax.grad(lambda x: jnp.vdot(spmm_blocked(gb, gt, x, "mean"), cot))(x)
     gx_ref = jax.grad(lambda x: jnp.vdot(spmm_segment(g, x, "mean"), cot))(x)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_gather_alignment_pad(rng):
+    """The flat gather length nblk*B must avoid multiples of 1024 (the XLA
+    row gather runs ~1.7x slower on that residue, RESULTS.md); the pad
+    block must not change values or gradients."""
+    # R=16, B=256 on an n=64 graph: 4 rowblocks x 1 sub-block = 4*256
+    # flat rows = 1024 exactly — the slow residue pre-fix.
+    src, dst, w = random_graph_np(rng, 64, 200, weighted=True)
+    g = build_graph(src, dst, w, num_nodes=64)
+    gb = with_blocks(g, 16, 256)
+    nblk, B = gb.blk_src.shape
+    assert (nblk * B) % 1024 != 0
+    # rowblock ids stay sorted after the pad
+    rb = np.asarray(gb.blk_rowblock)
+    assert (np.diff(rb) >= 0).all()
+    gt = transpose_graph(gb)
+    x = jnp.asarray(rng.standard_normal((64, 8)), jnp.float32)
+    out = spmm_blocked(gb, gt, x, "sum")
+    expect = spmm_segment(g, x, "sum")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=1e-4, atol=1e-5)
+    cot = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+    gx = jax.grad(lambda x: jnp.vdot(spmm_blocked(gb, gt, x, "sum"), cot))(x)
+    gx_ref = jax.grad(lambda x: jnp.vdot(spmm_segment(g, x, "sum"), cot))(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_align_blocks_helper():
+    from plnlp_tpu.graph import _align_blocks
+
+    mk = lambda nblk, B: {
+        "blk_src": np.zeros((nblk, B), np.int32),
+        "blk_weight": np.ones((nblk, B), np.float32),
+        "blk_local": np.zeros((nblk, B), np.int32),
+        "blk_rowblock": np.arange(nblk, dtype=np.int32),
+        "block_rows": 8,
+        "block_edges": B,
+    }
+    # slow residue -> one pad block appended
+    out = _align_blocks(mk(4, 256))
+    assert out["blk_src"].shape == (5, 256)
+    assert out["blk_rowblock"][-1] == out["blk_rowblock"][-2]
+    assert (out["blk_weight"][-1] == 0).all()
+    # already off the residue -> untouched
+    out = _align_blocks(mk(5, 256))
+    assert out["blk_src"].shape == (5, 256)
+    # B itself a multiple of 1024 -> nothing can help; untouched
+    out = _align_blocks(mk(4, 1024))
+    assert out["blk_src"].shape == (4, 1024)
