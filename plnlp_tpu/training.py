@@ -254,12 +254,22 @@ class Model:
         del k_neg  # one rng drives the fused batch's dropout masks
         b = pos.shape[0]
         all_pairs = jnp.concatenate([pos, neg.reshape(-1, 2)], axis=0)
+        npairs = all_pairs.shape[0]
+        if npairs % 1024 == 0:
+            # XLA's row gather (and its scatter-add transpose) runs ~1.7x
+            # slower when the indexed row count is a multiple of 1024
+            # (RESULTS.md "gather wall") — batch*(1+num_neg) is 2^k for the
+            # reference configs, exactly the slow residue.  Score 256 dummy
+            # pairs and slice them back off before the loss.
+            all_pairs = jnp.concatenate(
+                [all_pairs, jnp.zeros((256, 2), all_pairs.dtype)], axis=0
+            )
         out = apply_predictor(
             params["predictor"], cfg.predictor,
             h[all_pairs[:, 0]], h[all_pairs[:, 1]],
             dropout=cfg.dropout, train=True, rng=k_pos,
         )
-        out = out.reshape(out.shape[0], -1)
+        out = out.reshape(out.shape[0], -1)[:npairs]
         pos_out, neg_out = out[:b], out[b:]
         # Loss math always accumulates in f32 regardless of compute dtype.
         return calculate_loss(
@@ -458,12 +468,17 @@ class Model:
 
     def _predict_chunk_impl(self, params, h, edges):
         n = self.num_nodes
+        c = edges.shape[0]
+        if c % 1024 == 0:
+            # keep the chunk's row gathers off the slow %1024 residue
+            # (see _loss_impl) — 64Ki eval chunks land exactly on it
+            edges = jnp.concatenate([edges, jnp.zeros((256, 2), edges.dtype)])
         e0 = jnp.where(edges[:, 0] < 0, n, edges[:, 0])
         e1 = jnp.where(edges[:, 1] < 0, n, edges[:, 1])
         out = apply_predictor(
             params["predictor"], self.cfg.predictor, h[e0], h[e1], train=False
         )
-        return out.reshape(-1).astype(jnp.float32)
+        return out.reshape(-1)[:c].astype(jnp.float32)
 
     def _predict_mapped_impl(self, params, h, chunks):
         # lax.map keeps per-chunk memory bounded while staying in ONE

@@ -300,3 +300,56 @@ def test_local_sampler_epoch_still_learns(rng):
         losses.append(loss)
     assert losses[-1] < losses[0]
     assert all(np.isfinite(l) for l in losses)
+
+
+def test_pair_pad_alignment_loss_unchanged(rng):
+    """When batch*(1+num_neg) hits the slow %1024 gather residue,
+    _loss_impl scores 256 dummy pairs and slices them off — the loss must
+    equal a direct no-pad computation."""
+    from plnlp_tpu.losses import calculate_loss
+    from plnlp_tpu.models import apply_encoder, apply_predictor
+
+    n = 300
+    src, dst, _ = random_graph_np(rng, n, 900)
+    g = build_graph(src, dst, None, num_nodes=n)
+    cfg = ModelConfig(
+        emb_hidden_channels=16,
+        gnn_hidden_channels=16,
+        mlp_hidden_channels=16,
+        batch_size=256,
+        num_neg=3,
+        dropout=0.0,  # deterministic forward
+    )
+    model = Model(cfg, num_nodes=n)
+    params = model.init_params(jax.random.PRNGKey(0))
+    pos = jnp.asarray(
+        np.stack(
+            [np.asarray(rng.integers(0, n, 256)),
+             np.asarray(rng.integers(0, n, 256))], axis=1
+        ).astype(np.int32)
+    )
+    neg = jnp.asarray(rng.integers(0, n, (256, 3, 2)).astype(np.int32))
+    assert (pos.shape[0] * (1 + cfg.num_neg)) % 1024 == 0  # pad triggers
+    key = jax.random.PRNGKey(7)
+    loss = model._loss_impl(params, g, None, None, pos, neg, None, None, key)
+
+    # direct computation, no padding anywhere
+    x = model._input_feat(params, None)
+    h = apply_encoder(
+        params["encoder"], cfg.encoder, g, x, graph_t=None,
+        dropout=0.0, train=True, rng=jax.random.split(key, 3)[0],
+    )
+    pos_out = apply_predictor(
+        params["predictor"], cfg.predictor, h[pos[:, 0]], h[pos[:, 1]],
+        dropout=0.0, train=True, rng=jax.random.split(key, 3)[1],
+    ).reshape(-1, 1)
+    nflat = neg.reshape(-1, 2)
+    neg_out = apply_predictor(
+        params["predictor"], cfg.predictor, h[nflat[:, 0]], h[nflat[:, 1]],
+        dropout=0.0, train=True, rng=jax.random.split(key, 3)[1],
+    ).reshape(-1, 1)
+    expect = calculate_loss(
+        cfg.loss_func, pos_out.astype(jnp.float32),
+        neg_out.astype(jnp.float32), cfg.num_neg, margin=None, mask=None,
+    )
+    np.testing.assert_allclose(float(loss), float(expect), rtol=1e-5)
