@@ -312,6 +312,11 @@ def _csr_np(
 
     num_edges = len(src)
     e_pad = max(_pad_to(num_edges, edge_pad_multiple), edge_pad_multiple)
+    if edge_pad_multiple % 1024 and e_pad % 1024 == 0:
+        # keep COO-length row gathers (SDDMM / edge-softmax / segment SpMM
+        # gather q[receivers], kv[senders]) off the slow %1024 residue —
+        # see _align_blocks
+        e_pad += edge_pad_multiple
     pad = e_pad - num_edges
     senders = np.concatenate([src, np.zeros(pad, np.int64)]).astype(np.int32)
     receivers = np.concatenate(
