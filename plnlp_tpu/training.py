@@ -252,18 +252,15 @@ class Model:
         # gather->compute->scatter chain here better than any manual
         # row-dedup graph — see RESULTS.md "pair-scoring wall".
         del k_neg  # one rng drives the fused batch's dropout masks
+        # NB: the %1024 gather residue (RESULTS.md "gather wall") does NOT
+        # apply here — padding the pair batch off the residue was A/B'd on
+        # chip and LOSES ~11% (14.6 -> 16.3 ms at ddi shape) because this
+        # gather fuses into the predictor chain instead of materializing;
+        # the residue penalty only exists for materialized gathers like the
+        # blocked SpMM's x[blk_src] (graph._align_blocks, which stays).
         b = pos.shape[0]
         all_pairs = jnp.concatenate([pos, neg.reshape(-1, 2)], axis=0)
         npairs = all_pairs.shape[0]
-        if npairs % 1024 == 0:
-            # XLA's row gather (and its scatter-add transpose) runs ~1.7x
-            # slower when the indexed row count is a multiple of 1024
-            # (RESULTS.md "gather wall") — batch*(1+num_neg) is 2^k for the
-            # reference configs, exactly the slow residue.  Score 256 dummy
-            # pairs and slice them back off before the loss.
-            all_pairs = jnp.concatenate(
-                [all_pairs, jnp.zeros((256, 2), all_pairs.dtype)], axis=0
-            )
         out = apply_predictor(
             params["predictor"], cfg.predictor,
             h[all_pairs[:, 0]], h[all_pairs[:, 1]],
@@ -469,10 +466,8 @@ class Model:
     def _predict_chunk_impl(self, params, h, edges):
         n = self.num_nodes
         c = edges.shape[0]
-        if c % 1024 == 0:
-            # keep the chunk's row gathers off the slow %1024 residue
-            # (see _loss_impl) — 64Ki eval chunks land exactly on it
-            edges = jnp.concatenate([edges, jnp.zeros((256, 2), edges.dtype)])
+        # (%1024-residue padding was tried here too and A/B'd as a no-op:
+        # the eval-chunk gather fuses into the predictor — see _loss_impl.)
         e0 = jnp.where(edges[:, 0] < 0, n, edges[:, 0])
         e1 = jnp.where(edges[:, 1] < 0, n, edges[:, 1])
         out = apply_predictor(

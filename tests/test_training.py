@@ -302,10 +302,11 @@ def test_local_sampler_epoch_still_learns(rng):
     assert all(np.isfinite(l) for l in losses)
 
 
-def test_pair_pad_alignment_loss_unchanged(rng):
-    """When batch*(1+num_neg) hits the slow %1024 gather residue,
-    _loss_impl scores 256 dummy pairs and slices them off — the loss must
-    equal a direct no-pad computation."""
+def test_fused_pair_scoring_loss_matches_direct(rng):
+    """_loss_impl scores pos+neg pairs in ONE fused predictor call; the
+    loss must equal a direct two-call (pos, neg) computation.  (Also the
+    regression guard for the reverted %1024 pair-pad experiment — any
+    future re-padding must keep the loss bit-identical.)"""
     from plnlp_tpu.losses import calculate_loss
     from plnlp_tpu.models import apply_encoder, apply_predictor
 
@@ -329,7 +330,8 @@ def test_pair_pad_alignment_loss_unchanged(rng):
         ).astype(np.int32)
     )
     neg = jnp.asarray(rng.integers(0, n, (256, 3, 2)).astype(np.int32))
-    assert (pos.shape[0] * (1 + cfg.num_neg)) % 1024 == 0  # pad triggers
+    # batch*(1+num_neg) % 1024 == 0: the shape every reference config hits
+    assert (pos.shape[0] * (1 + cfg.num_neg)) % 1024 == 0
     key = jax.random.PRNGKey(7)
     loss = model._loss_impl(params, g, None, None, pos, neg, None, None, key)
 
