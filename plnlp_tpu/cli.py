@@ -450,6 +450,17 @@ def prepare_experiment(args):
 
 
 def run_experiment(args, log=print):
+    """Full experiment driver (reference main.py:69-305).  SIGTERM during
+    the run (TPU preemption notice) checkpoints at the next epoch boundary
+    and exits with code 75 so a scheduler relaunch with --resume continues
+    — see plnlp_tpu.resilience.PreemptionGuard."""
+    from plnlp_tpu.resilience import PreemptionGuard
+
+    with PreemptionGuard() as guard:
+        return _run_experiment(args, log, guard)
+
+
+def _run_experiment(args, log, guard):
     exp = prepare_experiment(args)
     model: Model = exp["model"]
     graph, graph_t = exp["graph"], exp["graph_t"]
@@ -529,6 +540,22 @@ def run_experiment(args, log=print):
 
     ckpt_mgr = None
     start_run, start_epoch = 0, 1
+
+    def save_ckpt(run, epoch, params, opt_state):
+        ckpt_mgr.save(
+            run * args.epochs + epoch,
+            params,
+            opt_state,
+            {
+                "run": run,
+                "epoch": epoch,
+                "results": {
+                    k: [list(map(list, r)) for r in lg.results]
+                    for k, lg in loggers.items()
+                },
+            },
+        )
+
     if getattr(args, "checkpoint_dir", ""):
         from plnlp_tpu.checkpoint import CheckpointManager
 
@@ -641,19 +668,28 @@ def run_experiment(args, log=print):
             if args.use_lr_decay:
                 cur_lr = adjust_lr(args.lr, epoch / args.epochs)
             if ckpt_mgr is not None and epoch % args.checkpoint_every == 0:
-                ckpt_mgr.save(
-                    run * args.epochs + epoch,
-                    params,
-                    opt_state,
-                    {
-                        "run": run,
-                        "epoch": epoch,
-                        "results": {
-                            k: [list(map(list, r)) for r in lg.results]
-                            for k, lg in loggers.items()
-                        },
-                    },
-                )
+                save_ckpt(run, epoch, params, opt_state)
+            if guard is not None and guard.preempted:
+                # Preemption notice arrived mid-epoch: persist NOW (unless
+                # the periodic save above just did) and exit cleanly with
+                # the resume recipe in the log.
+                if ckpt_mgr is not None:
+                    if epoch % args.checkpoint_every != 0:
+                        save_ckpt(run, epoch, params, opt_state)
+                    emit(
+                        f"Preemption signal ({guard.signum}) — checkpointed "
+                        f"run {run + 1} epoch {epoch}; relaunch with "
+                        f"--resume to continue"
+                    )
+                else:
+                    emit(
+                        f"Preemption signal ({guard.signum}) at run "
+                        f"{run + 1} epoch {epoch} — no --checkpoint_dir, "
+                        f"progress is lost"
+                    )
+                from plnlp_tpu.resilience import Preempted
+
+                raise Preempted(run, epoch)
         for k in loggers:
             emit(k)
             loggers[k].print_statistics(run, last_best=args.eval_last_best)

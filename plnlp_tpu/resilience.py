@@ -16,10 +16,70 @@ errors (device resets, tunnel drops) are expected::
 
 from __future__ import annotations
 
+import signal
+import threading
 import time
 from typing import Callable, Optional
 
-__all__ = ["run_resilient"]
+__all__ = ["run_resilient", "Preempted", "PreemptionGuard"]
+
+
+class Preempted(SystemExit):
+    """Clean early exit after a preemption signal.
+
+    Subclasses SystemExit with code 75 (EX_TEMPFAIL) so schedulers can
+    distinguish "relaunch me with --resume" from success (0) and failure
+    (1) — and so ``run_resilient``'s ``except Exception`` does NOT swallow
+    it: restarting in-process on a machine that is being reclaimed would
+    burn the preemption grace period for nothing.
+    """
+
+    def __init__(self, run: int, epoch: int):
+        super().__init__(75)
+        self.run = run
+        self.epoch = epoch
+
+
+class PreemptionGuard:
+    """Converts SIGTERM (the preemption notice TPU schedulers deliver — GKE
+    / GCE send it at the start of the grace window) into a cooperative flag
+    the epoch loop checks at its boundaries, where state is consistent and
+    cheap to checkpoint.  The reference loses the whole run on any kill
+    (reference main.py:100-103 persists only a text log).
+
+    Signal handlers may only be installed from the main thread; anywhere
+    else (e.g. a test runner worker) the guard degrades to inactive and
+    ``preempted`` simply stays False.  The previous handlers are restored
+    on exit so library callers (pytest, notebooks) are left untouched.
+    """
+
+    def __init__(self, signals=(signal.SIGTERM,)):
+        self._signals = tuple(signals)
+        self._saved = {}
+        self.preempted = False
+        self.signum: Optional[int] = None
+        self.active = False
+
+    def _handler(self, signum, frame):
+        self.preempted = True
+        self.signum = signum
+
+    def __enter__(self) -> "PreemptionGuard":
+        if threading.current_thread() is threading.main_thread():
+            try:
+                for s in self._signals:
+                    self._saved[s] = signal.signal(s, self._handler)
+                self.active = True
+            except ValueError:  # pragma: no cover — non-main interpreter
+                self._saved.clear()
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        for s, old in self._saved.items():
+            signal.signal(s, old)
+        self._saved.clear()
+        self.active = False
+        return False
 
 
 def run_resilient(
