@@ -455,3 +455,67 @@ def test_ogb_citation2_layout_end_to_end(tmp_path):
     assert "MRR" in loggers and loggers["MRR"].results[0]
     for v, t in loggers["MRR"].results[0]:
         assert 0.0 <= v <= 1.0 and 0.0 <= t <= 1.0
+
+
+def test_ogb_collab_layout_end_to_end(tmp_path):
+    """Fabricated ogbl-collab on-disk layout (edge_weight.csv.gz +
+    edge_year.csv.gz in raw/, year/weight keys in the split .pt files)
+    through the FULL CLI pipeline with the README collab flags: loader ->
+    year filter -> val-as-input + degree-normalized weights -> DOT/WSAGE ->
+    Hits eval (reference README.md:31, main.py:112-150)."""
+    import gzip
+
+    import torch
+
+    rng = np.random.default_rng(1)
+    n, e = 80, 600
+    base = tmp_path / "ogbl_collab"
+    (base / "raw").mkdir(parents=True)
+    (base / "split" / "time").mkdir(parents=True)
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    years = rng.integers(2000, 2012, e)
+    weights = rng.integers(1, 5, e).astype(np.float32)
+    with gzip.open(base / "raw" / "edge.csv.gz", "wt") as f:
+        for u, v in zip(src, dst):
+            f.write(f"{u},{v}\n")
+    with gzip.open(base / "raw" / "num-node-list.csv.gz", "wt") as f:
+        f.write(f"{n}\n")
+    with gzip.open(base / "raw" / "edge_weight.csv.gz", "wt") as f:
+        for w in weights:
+            f.write(f"{w:.1f}\n")
+    with gzip.open(base / "raw" / "edge_year.csv.gz", "wt") as f:
+        for y in years:
+            f.write(f"{y}\n")
+
+    def split_dict(sl, with_neg):
+        d = {
+            "edge": torch.tensor(np.stack([src[sl], dst[sl]], 1).astype(np.int64)),
+            "weight": torch.tensor(weights[sl]),
+            "year": torch.tensor(years[sl].astype(np.int64)),
+        }
+        if with_neg:
+            d["edge_neg"] = torch.tensor(
+                rng.integers(0, n, (40, 2)).astype(np.int64)
+            )
+        return d
+
+    torch.save(split_dict(slice(0, 400), False), base / "split" / "time" / "train.pt")
+    torch.save(split_dict(slice(400, 500), True), base / "split" / "time" / "valid.pt")
+    torch.save(split_dict(slice(500, 600), True), base / "split" / "time" / "test.pt")
+
+    args = _args(
+        data_name="ogbl-collab",
+        data_path=str(tmp_path),
+        predictor="DOT",
+        use_valedges_as_input=True,
+        year=2006,
+        encoder="WSAGE",
+        eval_last_best=True,
+        epochs=2,
+        batch_size=256,
+    )
+    loggers = run_experiment(args, log=lambda *_: None)
+    assert loggers["Hits@50"].results[0]
+    for v, t in loggers["Hits@50"].results[0]:
+        assert 0.0 <= v <= 1.0 and 0.0 <= t <= 1.0
