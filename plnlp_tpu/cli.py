@@ -209,7 +209,15 @@ def apply_dataset_surgery(ds: Dict, args) -> Dict:
         if args.year > 0 and "year" in split_edge["train"]:
             sel = split_edge["train"]["year"] >= args.year
             split_edge["train"]["edge"] = split_edge["train"]["edge"][sel]
-            split_edge["train"]["weight"] = split_edge["train"]["weight"][sel]
+            # A split can carry 'year' without 'weight' (collab has both;
+            # synthetic generators may not) — default to unit weights like
+            # the adjacency builders do.
+            if "weight" not in split_edge["train"]:
+                split_edge["train"]["weight"] = np.ones(
+                    int(sel.sum()), np.float32
+                )
+            else:
+                split_edge["train"]["weight"] = split_edge["train"]["weight"][sel]
             split_edge["train"]["year"] = split_edge["train"]["year"][sel]
             tr = split_edge["train"]["edge"]
             s, d, w = to_undirected_edges(
@@ -516,7 +524,16 @@ def _run_experiment(args, log, guard):
 
         return shard_state(model, mesh, params, opt_state)
 
-    key = jax.random.PRNGKey(args.seed)
+    # Keys are derived POSITIONALLY — fold_in(fold_in(seed, run), epoch) —
+    # not by threading one split chain through the loop: a --resume restart
+    # must continue with exactly the keys an uninterrupted run would have
+    # used at that (run, epoch), never replay the pre-preemption epochs'
+    # negative samples / shuffles / dropout masks.
+    base_key = jax.random.PRNGKey(args.seed)
+
+    def run_epoch_key(run, epoch):
+        """epoch 0 is reserved for param init; train epochs start at 1."""
+        return jax.random.fold_in(jax.random.fold_in(base_key, run), epoch)
     # Reference quirk: optimizer state is created ONCE and carries across
     # runs (model.py:85-96); --reset_optimizer restores the clean behavior.
     params = model.init_params(jax.random.PRNGKey(args.seed))
@@ -575,8 +592,7 @@ def _run_experiment(args, log, guard):
 
     for run in range(start_run, args.runs):
         if run != start_run or start_epoch == 1:
-            key, k_init = jax.random.split(key)
-            params = model.init_params(k_init)
+            params = model.init_params(run_epoch_key(run, 0))
             if args.reset_optimizer:
                 opt_state = model.init_opt_state(params)
             params, opt_state = place_state(params, opt_state)
@@ -588,9 +604,9 @@ def _run_experiment(args, log, guard):
         )
         start_time = time.time()
         for epoch in range(first_epoch, 1 + args.epochs):
-            key, k_epoch = jax.random.split(key)
+            k_epoch = run_epoch_key(run, epoch)
             if args.random_walk_augment:
-                key, k_walk = jax.random.split(key)
+                k_epoch, k_walk = jax.random.split(k_epoch)
                 pos, weights, valid = random_walk_pairs(
                     sample_graph, rw_start, args.walk_length, k_walk
                 )

@@ -101,7 +101,11 @@ def load_ogb_dataset(name: str, root: str = "dataset") -> Dict:
     edge_year = ey.ravel() if ey is not None else None
 
     split_root = os.path.join(base, "split")
-    split_types = os.listdir(split_root) if os.path.isdir(split_root) else []
+    # sorted: os.listdir order is filesystem-dependent; a directory with
+    # more than one split type must resolve identically on every machine.
+    split_types = (
+        sorted(os.listdir(split_root)) if os.path.isdir(split_root) else []
+    )
     if not split_types:
         raise FileNotFoundError(f"missing split dir under {base}")
     split_edge = _load_split(os.path.join(split_root, split_types[0]))

@@ -348,10 +348,27 @@ def _edge_mask_np(csr) -> Optional[np.ndarray]:
     if n == 0 or n > _EDGE_MASK_MAX_NODES:
         return None
     e = csr["num_edges"]
-    dense = np.zeros((n, n), dtype=bool)
-    dense[csr["receivers"][:e], csr["senders"][:e]] = True
-    # row-major bit packing: byte (u, v//8), bit v%8 (little-endian bits)
-    return np.packbits(dense, axis=1, bitorder="little").reshape(-1)
+    recv = csr["receivers"][:e]
+    send = csr["senders"][:e]
+    # row-major bit packing: byte (u, v//8), bit v%8 (little-endian bits).
+    # Packed in row chunks: a full dense N x N bool intermediate would
+    # spike ~400 MB of host RAM at the 20k-node cap for a 50 MB result.
+    row_bytes = (n + 7) // 8
+    out = np.empty((n, row_bytes), dtype=np.uint8)
+    chunk = 2048
+    order = np.argsort(recv, kind="stable")
+    recv_s, send_s = recv[order], send[order]
+    bounds = np.searchsorted(recv_s, np.arange(0, n + chunk, chunk))
+    dense = np.zeros((chunk, n), dtype=bool)
+    for i, r0 in enumerate(range(0, n, chunk)):
+        rows = min(chunk, n - r0)
+        dense[:rows] = False
+        lo, hi = bounds[i], bounds[i + 1]
+        dense[recv_s[lo:hi] - r0, send_s[lo:hi]] = True
+        out[r0 : r0 + rows] = np.packbits(
+            dense[:rows], axis=1, bitorder="little"
+        )
+    return out.reshape(-1)
 
 
 def _align_blocks(blocks):

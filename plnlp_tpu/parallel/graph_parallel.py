@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from plnlp_tpu.ops.spmm import _zero_cotangent as _zero_cot
 from plnlp_tpu.ops.spmm import blocked_sum_arrays
 from plnlp_tpu.parallel.partition import PartitionedGraph, partition_graph
 
@@ -192,12 +193,6 @@ def _mean_scale(pg: PartitionedGraph, y: jnp.ndarray) -> jnp.ndarray:
     deg = pg.local_in_degrees.reshape(-1)
     scale = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1), 0.0).astype(y.dtype)
     return y * scale[:, None]
-
-
-def _zero_cot(leaf):
-    if jnp.issubdtype(leaf.dtype, jnp.floating):
-        return jnp.zeros_like(leaf)
-    return np.zeros(leaf.shape, dtype=jax.dtypes.float0)
 
 
 def _direction(pg: PartitionedGraph, mesh: Mesh, comm: str, x, direction: str):

@@ -93,6 +93,16 @@ def shard_graph(graph, mesh: Mesh):
         num_edges=graph.num_edges,
         block_rows=graph.block_rows,
         block_edges=graph.block_edges,
+        # Membership-test metadata must survive the rebuild: max_degree
+        # bounds edges_exist's CSR binary search (0 would degenerate it to
+        # 2 probes -> false negatives -> the negative sampler emitting true
+        # edges) and edge_mask is the small-graph O(1) membership path.
+        max_degree=graph.max_degree,
+        edge_mask=(
+            None
+            if graph.edge_mask is None
+            else jax.device_put(graph.edge_mask, _rep(mesh))
+        ),
     )
     if graph.blk_src is not None:
         kw.update(

@@ -24,11 +24,9 @@ def shard_state(model: Model, mesh: Mesh, params, opt_state):
 
     def opt_like(state):
         # Optimizer states mirror the param pytree inside their leaves
-        # (e.g. ScaleByAdamState.mu/nu); shard matching leaves like params,
-        # replicate everything else (step counters).
-        flat_p, treedef_p = jax.tree_util.tree_flatten(params)
-        shapes = {id(l): None for l in flat_p}
-
+        # (e.g. ScaleByAdamState.mu/nu); shard leaves whose SHAPE matches
+        # the emb table like the table itself, replicate everything else
+        # (step counters, small-weight moments).
         def place(leaf):
             for pk, psh in [("emb", NamedSharding(mesh, P("node", None)))]:
                 if (

@@ -318,6 +318,14 @@ class Model:
             grads = dict(grads)
             grads["emb"] = jnp.zeros_like(grads["emb"])
         updates, opt_state = self._opt.update(grads, opt_state, params)
+        if self.use_emb and not self.emb_trainable:
+            # A zero GRADIENT is not enough to freeze the table: decoupled
+            # weight decay (AdamW wd=0.01, SGD wd=1e-5) adds wd*param to the
+            # update regardless of the gradient.  The reference excludes a
+            # frozen from_pretrained embedding from the optimizer entirely
+            # (model.py:80-90, 235-247) — zero the UPDATE to match.
+            updates = dict(updates)
+            updates["emb"] = jnp.zeros_like(updates["emb"])
         updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -63,6 +63,34 @@ def test_mesh_shapes():
     assert mesh.shape == {"data": 2, "node": 4}
 
 
+def test_shard_graph_keeps_membership_metadata(rng):
+    """shard_graph must carry max_degree and edge_mask through the rebuild:
+    without them edges_exist's binary search degenerates (false negatives)
+    and the negative sampler would emit true edges on the sharded graph."""
+    from plnlp_tpu.sampling import edges_exist
+
+    n = 40
+    src, dst, _ = random_graph_np(rng, n, 400)
+    g = build_graph(src, dst, None, num_nodes=n)
+    assert g.max_degree > 0
+    mesh = make_mesh(data=1, node=8)
+    sg = shard_graph(g, mesh)
+    assert sg.max_degree == g.max_degree
+    assert (sg.edge_mask is None) == (g.edge_mask is None)
+    e = g.num_edges
+    hits = edges_exist(sg, g.senders[:e], g.receivers[:e])
+    assert bool(jnp.all(hits)), "sharded graph lost edge membership"
+    # and a known non-edge stays a non-edge
+    keys = set(
+        (int(a) * n + int(b))
+        for a, b in zip(np.asarray(g.senders[:e]), np.asarray(g.receivers[:e]))
+    )
+    non_edge = next(k for k in range(n * n) if k not in keys)
+    assert not bool(
+        edges_exist(sg, jnp.asarray([non_edge // n]), jnp.asarray([non_edge % n]))[0]
+    )
+
+
 @pytest.mark.parametrize("data,node", [(8, 1), (1, 8), (2, 4)])
 def test_sharded_step_matches_single_device(setup, data, node):
     model, params, opt_state, g, pos, neg = setup

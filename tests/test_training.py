@@ -212,7 +212,12 @@ def test_adjust_lr():
     assert adjust_lr(1e-3, 0.2) == pytest.approx(8e-4)
 
 
-def test_pretrained_embedding_frozen(rng):
+@pytest.mark.parametrize("optimizer", ["Adam", "AdamW", "SGD"])
+def test_pretrained_embedding_frozen(rng, optimizer):
+    """Frozen across ALL optimizers: AdamW/SGD decoupled weight decay adds
+    wd*param to the update even under a zero gradient, so freezing must
+    zero the UPDATE, not just the gradient (reference excludes frozen
+    from_pretrained tables from the optimizer, model.py:80-90,235-247)."""
     n = 60
     src, dst, _ = random_graph_np(rng, n, 300)
     g = build_graph(src, dst, None, num_nodes=n)
@@ -224,6 +229,7 @@ def test_pretrained_embedding_frozen(rng):
         batch_size=64,
         train_node_emb=False,
         use_node_feats=False,
+        optimizer=optimizer,
     )
     model = Model(cfg, num_nodes=n, pretrain_emb=pre)
     params = model.init_params(jax.random.PRNGKey(0))
