@@ -469,6 +469,8 @@ def run_experiment(args, log=print):
 
 
 def _run_experiment(args, log, guard):
+    from plnlp_tpu.resilience import Preempted
+
     exp = prepare_experiment(args)
     model: Model = exp["model"]
     graph, graph_t = exp["graph"], exp["graph_t"]
@@ -703,8 +705,6 @@ def _run_experiment(args, log, guard):
                         f"{run + 1} epoch {epoch} — no --checkpoint_dir, "
                         f"progress is lost"
                     )
-                from plnlp_tpu.resilience import Preempted
-
                 raise Preempted(run, epoch)
         for k in loggers:
             emit(k)

@@ -362,12 +362,13 @@ def _edge_mask_np(csr) -> Optional[np.ndarray]:
     dense = np.zeros((chunk, n), dtype=bool)
     for i, r0 in enumerate(range(0, n, chunk)):
         rows = min(chunk, n - r0)
-        dense[:rows] = False
         lo, hi = bounds[i], bounds[i + 1]
-        dense[recv_s[lo:hi] - r0, send_s[lo:hi]] = True
+        rr, cc = recv_s[lo:hi] - r0, send_s[lo:hi]
+        dense[rr, cc] = True
         out[r0 : r0 + rows] = np.packbits(
             dense[:rows], axis=1, bitorder="little"
         )
+        dense[rr, cc] = False  # clear only the set bits, not the buffer
     return out.reshape(-1)
 
 
