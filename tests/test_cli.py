@@ -174,6 +174,37 @@ def test_resume_matches_uninterrupted_run(tmp_path):
     assert resumed["Hits@20"].results[0] == full["Hits@20"].results[0]
 
 
+def test_multi_run_resume_matches_uninterrupted(tmp_path):
+    """Resume landing INSIDE run 1 of 2: later runs' init and epoch keys are
+    positional too, so both runs' series match the uninterrupted protocol."""
+    common = dict(epochs=2, runs=2, seed=5)
+    full = run_experiment(_args(**common), log=lambda *_: None)
+
+    ck = str(tmp_path / "ck")
+    # checkpoint_every=3 fires once at run 1 epoch 1 (global step 3): the
+    # interrupted run stops there via a small epochs trick is not possible
+    # across runs, so emulate the interruption with a preemption signal.
+    import os
+    import signal
+
+    from plnlp_tpu.resilience import Preempted
+
+    def preempt_at_run1_epoch1(msg):
+        if "Run: 02, Epoch: 01" in str(msg):
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    with pytest.raises(Preempted):
+        run_experiment(
+            _args(checkpoint_dir=ck, checkpoint_every=99, **common),
+            log=preempt_at_run1_epoch1,
+        )
+    resumed = run_experiment(
+        _args(checkpoint_dir=ck, resume=True, **common), log=lambda *_: None
+    )
+    for k in full:
+        assert resumed[k].results == full[k].results
+
+
 def test_metrics_file_written(tmp_path):
     mf = str(tmp_path / "metrics.jsonl")
     run_experiment(_args(epochs=2, metrics_file=mf), log=lambda *_: None)

@@ -186,3 +186,47 @@ def test_fuzz_train_parity_across_backends(seed):
             losses, ref_losses, rtol=2e-3, atol=1e-4,
             err_msg=f"{name} loss trajectory diverged: {cfg}",
         )
+
+
+def test_bf16_backends_track_f32(rng=None):
+    """compute_dtype=bfloat16 integration across backends: both sparse
+    backends track the f32 segment-sum reference loss to bf16 tolerance
+    over 3 train steps (master weights stay f32)."""
+    rng = np.random.default_rng(77)
+    n, e = 48, 160
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    dense = prepare_dense(src, dst, None, num_nodes=n, symmetrize=True)
+    gb, gbt = prepare_graph(src, dst, None, num_nodes=n, symmetrize=True, block=(8, 16))
+    gs, gst = prepare_graph(src, dst, None, num_nodes=n, symmetrize=True, block=None)
+
+    def losses_for(compute_dtype, g, gt):
+        cfg = ModelConfig(
+            emb_hidden_channels=16, gnn_hidden_channels=16,
+            mlp_hidden_channels=16, batch_size=16, num_neg=2,
+            dropout=0.0, compute_dtype=compute_dtype,
+        )
+        model = Model(cfg, num_nodes=n)
+        params = model.init_params(jax.random.PRNGKey(3))
+        opt_state = model.init_opt_state(params)
+        batches = []
+        brng = np.random.default_rng(5)
+        for i in range(3):
+            pos = jnp.asarray(brng.integers(0, n, (16, 2)).astype(np.int32))
+            neg = jnp.asarray(brng.integers(0, n, (16, 2, 2)).astype(np.int32))
+            batches.append(
+                (pos, neg, jnp.zeros((16,)), jnp.ones((16,)),
+                 jax.random.PRNGKey(i), False)
+            )
+        out, params = _run_steps(model, params, opt_state, g, gt, None, batches)
+        assert all(
+            l.dtype == jnp.float32
+            for l in jax.tree_util.tree_leaves(params)
+            if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)
+        ), "master weights must stay f32 under bf16 compute"
+        return out
+
+    ref = losses_for("float32", gs, gst)
+    for g, gt in ((dense, None), (gb, gbt), (gs, gst)):
+        bf = losses_for("bfloat16", g, gt)
+        np.testing.assert_allclose(bf, ref, rtol=3e-2, atol=1e-2)
