@@ -66,6 +66,24 @@ def test_rank_candidates_orders_by_score(rng):
     assert set(ids_s.tolist()) <= set(subset.tolist())
 
 
+def test_rank_candidates_batch_matches_per_source(rng):
+    """The fused multi-source pass returns exactly what per-source calls do."""
+    model, params, g = _setup(rng)
+    sc = Scorer(model, params, g)
+    srcs = [0, 5, 17]
+    ids_b, scores_b = sc.rank_candidates_batch(srcs, k=6)
+    assert ids_b.shape == (3, 6) and scores_b.shape == (3, 6)
+    assert (np.diff(scores_b, axis=1) <= 1e-7).all()  # rows descending
+    # independent oracle: each row's top-k against raw flat scoring
+    for i, s in enumerate(srcs):
+        flat = sc.score(
+            np.stack([np.full(80, s), np.arange(80)], 1).astype(np.int32)
+        )
+        want = np.argsort(-flat)[:6]
+        np.testing.assert_allclose(scores_b[i], flat[want], rtol=1e-6)
+        assert set(ids_b[i].tolist()) == set(want.tolist())
+
+
 def test_from_checkpoint_round_trip(rng, tmp_path):
     model, params, g = _setup(rng)
     from plnlp_tpu.checkpoint import CheckpointManager
