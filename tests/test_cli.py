@@ -216,6 +216,53 @@ def test_metrics_file_written(tmp_path):
     assert lines[0]["agg_edges_per_sec"] > 0
 
 
+def test_res_dir_text_log(tmp_path):
+    """--res_dir writes the reference's append-only text log: args line,
+    param-count line, per-eval metric lines, final statistics
+    (reference main.py:100-103,212-213,296-305)."""
+    rd = str(tmp_path / "res")
+    run_experiment(_args(res_dir=rd), log=lambda *_: None)
+    import glob
+
+    files = glob.glob(rd + "/log_*.txt")
+    assert len(files) == 1
+    text = open(files[0]).read()
+    assert "data_name" in text  # args dump
+    assert "Total number of model parameters is" in text
+    assert "Highest Valid:" in text and "Final Test:" in text
+
+
+@pytest.mark.parametrize("fmt", ["npy", "pt"])
+def test_pretrain_emb_cli(tmp_path, fmt):
+    """--pretrain_emb loads a .npy or torch-pickled table; with
+    train_node_emb=False the table is used frozen (from_pretrained
+    semantics, reference model.py:235-247)."""
+    import jax
+    import torch
+
+    from plnlp_tpu.cli import prepare_experiment
+
+    n = 300  # matches synthetic:hits default num_nodes
+    table = np.random.default_rng(0).standard_normal((n, 12)).astype(np.float32)
+    path = tmp_path / f"emb.{fmt}"
+    if fmt == "npy":
+        np.save(path, table)
+    else:
+        torch.save(torch.tensor(table), path)
+    args = _args(
+        data_name="synthetic:hits:num_nodes=300,num_edges=3000",
+        pretrain_emb=str(path),
+        train_node_emb=False,
+        epochs=1,
+    )
+    exp = prepare_experiment(args)
+    model = exp["model"]
+    assert model.use_pretrained and model.emb_dim == 12
+    params = model.init_params(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(params["emb"]), table)
+    run_experiment(args, log=lambda *_: None)  # trains end-to-end
+
+
 def test_sbm_dataset_learnable():
     """SBM synthetic graphs carry learnable structure: a few epochs should
     beat the untrained baseline clearly."""
