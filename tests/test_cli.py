@@ -216,6 +216,68 @@ def test_metrics_file_written(tmp_path):
     assert lines[0]["agg_edges_per_sec"] > 0
 
 
+def test_log_steps_gates_printing():
+    """Metric lines print only when epoch % log_steps == 0 (reference
+    main.py:269); eval still happens every eval_steps."""
+    lines = []
+    loggers = run_experiment(
+        _args(epochs=4, eval_steps=1, log_steps=2), log=lines.append
+    )
+    assert len(loggers["Hits@20"].results[0]) == 4  # eval every epoch
+    printed = [l for l in lines if "Run: 01, Epoch:" in str(l)]
+    assert printed and all("Epoch: 02" in l or "Epoch: 04" in l for l in printed)
+
+
+def test_dense_threshold_auto_dispatch():
+    """adj_backend=auto picks the dense backend at/below --dense_threshold
+    nodes and CSR above it."""
+    from plnlp_tpu.cli import prepare_experiment
+    from plnlp_tpu.dense import DenseAdj
+    from plnlp_tpu.graph import Graph
+
+    small = prepare_experiment(
+        _args(adj_backend="auto", dense_threshold=5000)  # 2000 nodes <= 5000
+    )
+    assert isinstance(small["graph"], DenseAdj)
+    big = prepare_experiment(
+        _args(adj_backend="auto", dense_threshold=10)  # 2000 nodes > 10
+    )
+    assert isinstance(big["graph"], Graph)
+
+
+def test_profile_dir_cli(tmp_path):
+    """--profile_dir captures a trace of epoch 2 and the run completes; the
+    per-op summary lands in the emitted log (or a graceful unavailable
+    note, depending on the jax build)."""
+    import os
+
+    pd = str(tmp_path / "trace")
+    lines = []
+    run_experiment(_args(epochs=2, profile_dir=pd), log=lines.append)
+    # the capture produced trace files (CPU traces may legitimately yield
+    # zero device rows for the printed summary, so only the dir is asserted)
+    files = [os.path.join(r, f) for r, _, fs in os.walk(pd) for f in fs]
+    assert files, f"no trace files under {pd}"
+
+
+def test_prng_impl_threefry():
+    run_experiment(_args(epochs=1, prng_impl="threefry2x32"), log=lambda *_: None)
+
+
+def test_reset_optimizer_multi_run():
+    """--reset_optimizer gives run 2 a fresh optimizer (the reference
+    carries Adam moments across runs, model.py:85-96); both modes complete
+    and differ in run-2 trajectories."""
+    l_carry = run_experiment(_args(runs=2, seed=9), log=lambda *_: None)
+    l_reset = run_experiment(
+        _args(runs=2, seed=9, reset_optimizer=True), log=lambda *_: None
+    )
+    # run 1 identical (same init, fresh optimizer either way)...
+    assert l_carry["Hits@20"].results[0] == l_reset["Hits@20"].results[0]
+    # ...run 2 diverges because carried Adam moments change the updates
+    assert l_carry["Hits@20"].results[1] != l_reset["Hits@20"].results[1]
+
+
 def test_res_dir_text_log(tmp_path):
     """--res_dir writes the reference's append-only text log: args line,
     param-count line, per-eval metric lines, final statistics
