@@ -9,7 +9,8 @@ Three independent compute paths implement the same model math:
 
 Each fuzz case draws a random small graph (isolated nodes, duplicate and
 self edges included), a random model surface (encoder x predictor x loss x
-layers x num_neg x optimizer, reference main.py:16-55 axes), runs THREE full
+layers x num_neg x optimizer x input-layer mode incl. frozen pretrained
+tables x remat, reference main.py:16-55 axes), runs THREE full
 train steps (fwd + bwd + clip + optimizer) from identical initial params on
 every backend, and requires the loss trajectory and final parameters to
 agree.  This is an integration-level oracle the per-module tests can't give:
@@ -59,7 +60,7 @@ def _run_steps(model, params, opt_state, graph, graph_t, node_feats, batches):
     return losses, params
 
 
-@pytest.mark.parametrize("seed", range(10))
+@pytest.mark.parametrize("seed", range(14))
 def test_fuzz_train_parity_across_backends(seed):
     rng = np.random.default_rng(1000 + seed)
     n = int(rng.integers(8, 60))
@@ -72,6 +73,12 @@ def test_fuzz_train_parity_across_backends(seed):
         else None
     )
 
+    # Input-layer mode — the full create_input_layer surface (reference
+    # model.py:229-249): fresh trainable table, frozen pretrained table,
+    # and both concat'd with raw node features.
+    input_mode = str(
+        rng.choice(["fresh", "pretrained", "feats_fresh", "feats_pretrained"])
+    )
     # gnn and mlp widths must match: the predictor's input IS the encoder
     # output, and the reference factory sizes it from mlp_hidden_channels
     # (model.py:75, layer.py:66-87) — its configs always set them equal.
@@ -90,12 +97,19 @@ def test_fuzz_train_parity_across_backends(seed):
         grad_clip_norm=float(rng.choice([-1.0, 1.0, 2.0])),
         num_neg=int(rng.integers(1, 4)),
         batch_size=16,
-        use_node_feats=bool(rng.integers(2)),
+        use_node_feats=input_mode.startswith("feats"),
+        train_node_emb=input_mode.endswith("fresh"),
+        remat=bool(rng.integers(2)),  # must be a pure memory/FLOPs trade
     )
     num_feats = 6 if cfg.use_node_feats else 0
     node_feats = (
         jnp.asarray(rng.standard_normal((n, num_feats)).astype(np.float32))
         if cfg.use_node_feats
+        else None
+    )
+    pretrain_emb = (
+        rng.standard_normal((n, 8 * int(rng.integers(1, 3)))).astype(np.float32)
+        if "pretrained" in input_mode
         else None
     )
 
@@ -137,7 +151,9 @@ def test_fuzz_train_parity_across_backends(seed):
         )
         batches.append((pos, neg, margin, mask, jax.random.PRNGKey(i), use_margin))
 
-    model = Model(cfg, num_nodes=n, num_node_feats=num_feats)
+    model = Model(
+        cfg, num_nodes=n, num_node_feats=num_feats, pretrain_emb=pretrain_emb
+    )
     backends = {
         "dense": (dense, None),
         "blocked": (gb, gbt),
