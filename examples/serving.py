@@ -38,7 +38,7 @@ def main():
 
     # Rebuild the experiment surface (same graph + normalization) and
     # restore the trained params into a frozen scorer.
-    exp = prepare_experiment(argument(argv))
+    exp = prepare_experiment(argument(argv), serving=True)
     scorer = Scorer.from_checkpoint(
         exp["model"], ckpt, exp["graph"], exp["graph_t"], exp["node_feats"]
     )

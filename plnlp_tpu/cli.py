@@ -327,8 +327,15 @@ def get_eval_edges(split_edge, split: str) -> Dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-def prepare_experiment(args):
-    """Everything up to (but excluding) the run loop; returns a dict."""
+def prepare_experiment(args, log=print, serving=False):
+    """Everything up to (but excluding) the run loop; returns a dict.
+
+    ``serving=True`` (the --score_pairs path) skips the training-only work:
+    the on-device block autotune sweep (the block must match the trained
+    run, so serving defaults to the same 512 a non-autotuned run gets and
+    the user passes the trained value explicitly) and the eval negative-set
+    construction.
+    """
     ds = load_dataset(args.data_name, args.data_path)
     num_nodes = ds["num_nodes"]
     node_feat = ds.get("node_feat")
@@ -342,16 +349,16 @@ def prepare_experiment(args):
     use_dense = args.adj_backend == "dense" or (
         args.adj_backend == "auto" and num_nodes <= args.dense_threshold
     )
-    if args.block_rows == 0 and not use_dense:
+    if args.block_rows == 0 and not use_dense and not serving:
         from plnlp_tpu.tuning import autotune_block
 
         args.block_rows, args.block_edges = autotune_block(
             surg["adj_src"], surg["adj_dst"], surg["adj_weight"],
             num_nodes=num_nodes, dim=args.gnn_hidden_channels,
             block_edges=args.block_edges,
-            dtype=getattr(args, "compute_dtype", "float32"), log=print,
+            dtype=getattr(args, "compute_dtype", "float32"), log=log,
         )
-        print(f"autotuned block = ({args.block_rows}, {args.block_edges})")
+        log(f"autotuned block = ({args.block_rows}, {args.block_edges})")
     elif args.block_rows == 0:
         args.block_rows = 512
     mesh_data = getattr(args, "mesh_data", 1) or 1
@@ -388,7 +395,7 @@ def prepare_experiment(args):
             num_nodes=num_nodes,
             block=(args.block_rows, args.block_edges),
         )
-    if num_shards > 1 or use_dense:
+    if (num_shards > 1 or use_dense) and not serving:
         # Replicated CSR twin for negative-sampler exclusion + random walks
         # (host-built once; cheap relative to the main structure).
         sample_graph, _ = prepare_graph(
@@ -435,14 +442,18 @@ def prepare_experiment(args):
     )
     model = Model(cfg, num_nodes, num_node_feats, pretrain_emb)
 
-    eval_edges = {
-        "valid": {
-            k: jnp.asarray(v) for k, v in get_eval_edges(split_edge, "valid").items()
-        },
-        "test": {
-            k: jnp.asarray(v) for k, v in get_eval_edges(split_edge, "test").items()
-        },
-    }
+    eval_edges = None
+    if not serving:
+        eval_edges = {
+            "valid": {
+                k: jnp.asarray(v)
+                for k, v in get_eval_edges(split_edge, "valid").items()
+            },
+            "test": {
+                k: jnp.asarray(v)
+                for k, v in get_eval_edges(split_edge, "test").items()
+            },
+        }
     return {
         "dataset": ds,
         "split_edge": split_edge,
@@ -471,7 +482,7 @@ def run_experiment(args, log=print):
 def _run_experiment(args, log, guard):
     from plnlp_tpu.resilience import Preempted
 
-    exp = prepare_experiment(args)
+    exp = prepare_experiment(args, log=log)
     model: Model = exp["model"]
     graph, graph_t = exp["graph"], exp["graph_t"]
     sample_graph = exp["sample_graph"]
@@ -731,7 +742,7 @@ def run_scoring(args, log=print):
         raise SystemExit("--score_pairs needs --checkpoint_dir")
     from plnlp_tpu.serve import Scorer
 
-    exp = prepare_experiment(args)
+    exp = prepare_experiment(args, log=log, serving=True)
     sc = Scorer.from_checkpoint(
         exp["model"],
         args.checkpoint_dir,

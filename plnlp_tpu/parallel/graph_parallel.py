@@ -84,14 +84,26 @@ def make_graph_parallel(
     if comm == "auto":
         # Pick by comm volume: halo receives S*(q + qh) rows per shard per
         # layer pass (per-peer quota + replicated hubs) vs the all-gather's
-        # full padded_nodes rows.  Building the plan is a one-time host pass.
+        # full padded_nodes rows.  Quotas are ESTIMATED from the boundary
+        # sets alone (halo.estimate_halo_quotas, same code path as the
+        # builder) so the losing branch never pays for the full plan build
+        # — sub-block expansion + device upload of both directions — only
+        # to discard it.
+        from plnlp_tpu.parallel.halo import estimate_halo_quotas
         from plnlp_tpu.parallel.partition import with_halo
 
         if num_shards > 1:
-            pg_h = with_halo(pg)
-            halo_rows = num_shards * (pg_h.halo_quota + pg_h.halo_hubs)
-            if halo_rows < 0.9 * pg_h.padded_nodes:
-                return GraphParallel(pg=pg_h, mesh=mesh, comm="halo")
+            qf, qhf = estimate_halo_quotas(
+                np.asarray(pg.fwd_blk_src), np.asarray(pg.fwd_blk_weight),
+                pg.rows_per_shard, num_shards,
+            )
+            qb, qhb = estimate_halo_quotas(
+                np.asarray(pg.bwd_blk_src), np.asarray(pg.bwd_blk_weight),
+                pg.rows_per_shard, num_shards,
+            )
+            halo_rows = num_shards * (max(qf, qb) + max(qhf, qhb))
+            if halo_rows < 0.9 * pg.padded_nodes:
+                return GraphParallel(pg=with_halo(pg), mesh=mesh, comm="halo")
         comm = "all_gather"
     elif comm == "halo":
         from plnlp_tpu.parallel.partition import with_halo

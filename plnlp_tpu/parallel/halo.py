@@ -39,7 +39,7 @@ import numpy as np
 
 from plnlp_tpu.graph import _blocks_np
 
-__all__ = ["build_halo_plan"]
+__all__ = ["build_halo_plan", "estimate_halo_quotas"]
 
 
 def _csr_blocks(src_ids, dst_local, w, rows: int, R: int, B: int):
@@ -58,6 +58,75 @@ def _csr_blocks(src_ids, dst_local, w, rows: int, R: int, B: int):
         "num_edges": int(len(s)),
     }
     return _blocks_np(csr, R, B)
+
+
+def _boundary_sets(
+    blk_src: np.ndarray,
+    blk_weight: np.ndarray,
+    rows_per_shard: int,
+    num_shards: int,
+    hub_k: Optional[int] = None,
+):
+    """Hub rows + per-(dst, owner) unique non-hub boundary sets.
+
+    Returns (hubs, hub_owner, qh, H, q) where H[d][s] is the sorted array
+    of global non-hub rows shard d reads from owner s, q the per-peer
+    quota, qh the per-owner replicated-hub quota.  Shared by
+    ``build_halo_plan`` (which realizes the slot maps and blocked edge
+    structures) and ``estimate_halo_quotas`` (which only needs q/qh) so
+    the comm='auto' volume decision can never drift from the built plan.
+    """
+    S = num_shards
+    padded_nodes = S * rows_per_shard
+    if hub_k is None:
+        hub_k = max(3, S // 2 + 1)
+
+    uniq_remote = []
+    for d in range(S):
+        valid = blk_weight[d] != 0
+        src = blk_src[d][valid].astype(np.int64)
+        owners = src // rows_per_shard
+        uniq_remote.append(np.unique(src[owners != d]))
+
+    # Hub detection: rows read remotely by >= hub_k shards.
+    readers = np.zeros(padded_nodes, np.int32)
+    for rem in uniq_remote:
+        readers[rem] += 1
+    hubs = np.nonzero(readers >= hub_k)[0]
+    hub_owner = hubs // rows_per_shard
+    per_owner = np.bincount(hub_owner, minlength=S)
+    qh = max(int(per_owner.max()) if len(hubs) else 0, 1)
+    is_hub = np.zeros(padded_nodes, bool)
+    is_hub[hubs] = True
+
+    # Per-(dst, owner) unique NON-HUB boundary sets -> quota q.
+    H: List[List[np.ndarray]] = []
+    q = 1
+    for d in range(S):
+        rem = uniq_remote[d]
+        rem = rem[~is_hub[rem]]
+        owners = rem // rows_per_shard
+        bounds = np.searchsorted(owners, np.arange(S + 1))
+        Hd = [rem[bounds[s] : bounds[s + 1]] for s in range(S)]
+        H.append(Hd)
+        q = max(q, max((len(h) for h in Hd), default=1))
+    return hubs, hub_owner, qh, H, q
+
+
+def estimate_halo_quotas(
+    blk_src: np.ndarray,
+    blk_weight: np.ndarray,
+    rows_per_shard: int,
+    num_shards: int,
+    hub_k: Optional[int] = None,
+) -> Tuple[int, int]:
+    """(q, qh) for one direction WITHOUT building the plan — no sub-block
+    expansion, no slot maps, no device arrays.  Used by comm='auto' to
+    compare halo vs all-gather volume before paying for the full build."""
+    _, _, qh, _, q = _boundary_sets(
+        blk_src, blk_weight, rows_per_shard, num_shards, hub_k
+    )
+    return q, qh
 
 
 def build_halo_plan(
@@ -79,12 +148,9 @@ def build_halo_plan(
     """
     S = num_shards
     padded_nodes = S * rows_per_shard
-    if hub_k is None:
-        hub_k = max(3, S // 2 + 1)
 
     # Per-shard valid edge lists (global src, local dst, weight).
     edges = []
-    uniq_remote = []
     for d in range(S):
         valid = blk_weight[d] != 0
         src = blk_src[d][valid].astype(np.int64)
@@ -93,17 +159,10 @@ def build_halo_plan(
         )[valid]
         w = blk_weight[d][valid]
         edges.append((src, dst_local, w))
-        owners = src // rows_per_shard
-        uniq_remote.append(np.unique(src[owners != d]))
 
-    # Hub detection: rows read remotely by >= hub_k shards.
-    readers = np.zeros(padded_nodes, np.int32)
-    for rem in uniq_remote:
-        readers[rem] += 1
-    hubs = np.nonzero(readers >= hub_k)[0]
-    hub_owner = hubs // rows_per_shard
-    per_owner = np.bincount(hub_owner, minlength=S)
-    qh = max(int(per_owner.max()) if len(hubs) else 0, 1)
+    hubs, hub_owner, qh, H, q = _boundary_sets(
+        blk_src, blk_weight, rows_per_shard, S, hub_k
+    )
     hub_idx = np.zeros((S, qh), np.int32)
     hub_slot = np.full(padded_nodes, -1, np.int64)
     for s in range(S):
@@ -111,18 +170,6 @@ def build_halo_plan(
         hub_idx[s, : len(hs)] = (hs - s * rows_per_shard).astype(np.int32)
         hub_slot[hs] = s * qh + np.arange(len(hs))
     is_hub = hub_slot >= 0
-
-    # Per-(dst, owner) unique NON-HUB boundary sets -> quota q.
-    H: List[List[np.ndarray]] = []
-    q = 1
-    for d in range(S):
-        rem = uniq_remote[d]
-        rem = rem[~is_hub[rem]]
-        owners = rem // rows_per_shard
-        bounds = np.searchsorted(owners, np.arange(S + 1))
-        Hd = [rem[bounds[s] : bounds[s + 1]] for s in range(S)]
-        H.append(Hd)
-        q = max(q, max((len(h) for h in Hd), default=1))
 
     send_idx = np.zeros((S, S, q), np.int32)
     loc_blocks, rem_blocks = [], []

@@ -71,6 +71,10 @@ class PreemptionGuard:
                     self._saved[s] = signal.signal(s, self._handler)
                 self.active = True
             except ValueError:  # pragma: no cover — non-main interpreter
+                # Partial install: put back any handlers already swapped so
+                # the guard never leaks past a failed __enter__.
+                for s, old in self._saved.items():
+                    signal.signal(s, old)
                 self._saved.clear()
         return self
 

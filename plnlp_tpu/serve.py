@@ -99,18 +99,24 @@ class Scorer:
         ids, scores = self.rank_candidates_batch([src], candidates, k)
         return ids[0], scores[0]
 
+    # Upper bound on the on-device S×C pair grid per scoring pass.  8M pairs
+    # = 64 MB of int32 indices + 32 MB of f32 scores — far from HBM limits
+    # even with the cached h resident, yet large enough that the MXU stays
+    # saturated (eval measured flat beyond ~64Ki pairs/chunk, RESULTS.md).
+    _MAX_GRID_PAIRS = 8 * 1024 * 1024
+
     def rank_candidates_batch(
         self,
         srcs,
         candidates: Optional[np.ndarray] = None,
         k: int = 10,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Top-k candidates for MANY source nodes in one fused scoring pass.
+        """Top-k candidates for MANY source nodes in fused scoring passes.
 
-        Scores all S×C pairs through a single chunked device computation
-        (one round trip instead of S) — the recommendation-serving shape.
-        Returns (node_ids, scores), both (S, k), rows sorted by descending
-        score.
+        Scores all S×C pairs through chunked device computation (one round
+        trip per ~8M-pair source chunk instead of one per source) — the
+        recommendation-serving shape.  Returns (node_ids, scores), both
+        (S, k), rows sorted by descending score.
         """
         srcs = np.asarray(srcs, np.int32).reshape(-1)
         if candidates is None:
@@ -119,20 +125,31 @@ class Scorer:
             candidates = np.asarray(candidates, np.int32)
         s, c = len(srcs), len(candidates)
         k = min(k, c)
-        # Build the S×C pair grid ON DEVICE and top-k ON DEVICE: only the
-        # (S,) sources go up and only the (S, k) results come back — the
-        # S×C×2 index grid and S×C scores never cross the host link
-        # (measured: the host-built grid was transfer-bound, ~8x slower
-        # over a remote-tunnel device).
-        srcs_d = jnp.asarray(srcs)
+        # Build the pair grid ON DEVICE and top-k ON DEVICE: only the (S,)
+        # sources go up and only the (S, k) results come back — the S×C×2
+        # index grid and S×C scores never cross the host link (measured:
+        # the host-built grid was transfer-bound, ~8x slower over a
+        # remote-tunnel device).  Sources are processed in chunks so the
+        # grid stays bounded: at citation2 scale (C≈2.9M) an unchunked
+        # 256-source grid would be ~6 GB of indices alone and OOM a v5e.
         cand_d = jnp.asarray(candidates)
-        pairs = jnp.stack(
-            [jnp.repeat(srcs_d, c), jnp.tile(cand_d, s)], axis=1
-        )
-        scores = (
-            self.model.batch_predict(self.params, self.h, pairs, mesh=self.mesh)
-            .reshape(s, c)
-            .astype(jnp.float32)
-        )
-        top_scores, top_idx = jax.lax.top_k(scores, k)  # sorted descending
-        return np.asarray(cand_d[top_idx]), np.asarray(top_scores)
+        per = max(1, self._MAX_GRID_PAIRS // max(c, 1))
+        ids_out, scores_out = [], []
+        for lo in range(0, s, per):
+            srcs_d = jnp.asarray(srcs[lo : lo + per])
+            sc = srcs_d.shape[0]
+            pairs = jnp.stack(
+                [jnp.repeat(srcs_d, c), jnp.tile(cand_d, sc)], axis=1
+            )
+            scores = (
+                self.model.batch_predict(
+                    self.params, self.h, pairs, mesh=self.mesh
+                )
+                .reshape(sc, c)
+                .astype(jnp.float32)
+            )
+            # Per-source top-k is independent across chunks — no merge.
+            top_scores, top_idx = jax.lax.top_k(scores, k)  # sorted desc
+            ids_out.append(np.asarray(cand_d[top_idx]))
+            scores_out.append(np.asarray(top_scores))
+        return np.concatenate(ids_out), np.concatenate(scores_out)

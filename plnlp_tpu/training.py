@@ -411,6 +411,19 @@ class Model:
                 def shard_b(x, spec_dims):
                     spec = PartitionSpec("data", *([None] * spec_dims))
                     return jax.device_put(x, NamedSharding(mesh, spec))
+            else:
+                # Never drop requested parallelism silently: the run would
+                # complete at single-device throughput with the 'data'
+                # devices idle and nothing in the log saying why.
+                import warnings
+
+                warnings.warn(
+                    f"batch_size {b} is not divisible by the mesh 'data' "
+                    f"axis ({ndata}); pair batches run UNSHARDED this "
+                    f"epoch — pad batch_size to a multiple of {ndata} to "
+                    f"use data parallelism",
+                    stacklevel=2,
+                )
         losses = []
         counts = []
         for i in range(num_batches):

@@ -92,5 +92,15 @@ def autotune_block(
         if dt < best_dt:
             best, best_dt = (R, B), dt
     if best is None:
-        return 512, 512
+        # Nothing was measured (every candidate skipped or failed) — fall
+        # back to the smallest candidate that satisfies the same
+        # R <= num_nodes constraint the sweep enforced, not a hard-coded
+        # (512, 512) that may itself be invalid for a tiny graph.
+        valid = [
+            (r, b) for r, b in sorted(candidates) if r <= max(num_nodes, 1)
+        ]
+        if valid:
+            return valid[0]
+        r = 1 << max(0, max(num_nodes, 1).bit_length() - 1)  # pow2 <= N
+        return min(r, 512), block_edges
     return best

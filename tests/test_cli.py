@@ -8,6 +8,7 @@ from plnlp_tpu.cli import (
     argument,
     get_eval_edges,
     get_train_edges,
+    prepare_experiment,
     run_experiment,
 )
 from plnlp_tpu.data import load_dataset, make_synthetic_dataset
@@ -693,3 +694,46 @@ def test_ogb_collab_layout_end_to_end(tmp_path):
     assert loggers["Hits@50"].results[0]
     for v, t in loggers["Hits@50"].results[0]:
         assert 0.0 <= v <= 1.0 and 0.0 <= t <= 1.0
+
+
+def test_serving_prepare_skips_training_only_work(monkeypatch):
+    """prepare_experiment(serving=True): no on-device autotune sweep, no
+    eval negative-set construction — serving startup must be encode-only."""
+    import plnlp_tpu.tuning as tuning
+
+    def boom(*a, **k):  # any autotune call in serving mode is a bug
+        raise AssertionError("autotune ran in serving mode")
+
+    monkeypatch.setattr(tuning, "autotune_block", boom)
+    args = _args(adj_backend="csr", block_rows=0)
+    exp = prepare_experiment(args, log=lambda *_: None, serving=True)
+    assert exp["eval_edges"] is None
+    assert args.block_rows == 512  # the non-autotuned default
+    assert exp["model"] is not None and exp["graph"] is not None
+
+
+def test_autotune_fallback_respects_node_count():
+    """When every sweep candidate is skipped (R > num_nodes), the fallback
+    must itself satisfy the constraint it enforced — not hard-code 512."""
+    from plnlp_tpu.tuning import autotune_block
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 100, 400)
+    dst = rng.integers(0, 100, 400)
+    r, b = autotune_block(src, dst, None, num_nodes=100, dim=8)
+    assert r <= 100 and b == 512
+    assert r == 64  # largest power of two <= 100
+
+
+def test_mesh_data_indivisible_batch_warns():
+    """Requested data parallelism must never be dropped silently: an odd
+    batch under --mesh_data=2 runs unsharded and says so."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any swallowed warning -> failure
+        with pytest.raises(UserWarning, match="UNSHARDED"):
+            run_experiment(
+                _args(mesh_data=2, batch_size=333, epochs=1),
+                log=lambda *_: None,
+            )

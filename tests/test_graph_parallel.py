@@ -380,3 +380,26 @@ def test_comm_auto_selection(rng):
         mesh=mesh, block=(8, 32), symmetrize=True, comm="auto",
     )
     assert gp_dense.comm == "all_gather"
+
+
+def test_estimate_halo_quotas_matches_built_plan(rng):
+    """comm='auto' decides from estimate_halo_quotas — it must agree
+    exactly with what with_halo subsequently builds."""
+    from plnlp_tpu.parallel.halo import estimate_halo_quotas
+    from plnlp_tpu.parallel.partition import with_halo
+
+    src, dst, _ = random_graph_np(rng, 256, 2048)
+    pg = partition_graph(
+        src, dst, None, num_nodes=256, num_shards=4, block=(32, 64)
+    )
+    qf, qhf = estimate_halo_quotas(
+        np.asarray(pg.fwd_blk_src), np.asarray(pg.fwd_blk_weight),
+        pg.rows_per_shard, 4,
+    )
+    qb, qhb = estimate_halo_quotas(
+        np.asarray(pg.bwd_blk_src), np.asarray(pg.bwd_blk_weight),
+        pg.rows_per_shard, 4,
+    )
+    pgh = with_halo(pg)
+    assert max(qf, qb) == pgh.halo_quota
+    assert max(qhf, qhb) == pgh.halo_hubs

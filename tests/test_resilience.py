@@ -125,3 +125,17 @@ def test_preempted_not_swallowed_by_supervisor(tmp_path):
             args, max_restarts=3, backoff_seconds=0.0,
             log=lambda *_: None, _run=preempted_run,
         )
+
+
+def test_preemption_guard_partial_install_restores_handlers():
+    """A ValueError mid-install (invalid signal) must put back handlers
+    already swapped — the guard can never leak past a failed __enter__."""
+    import signal
+
+    from plnlp_tpu.resilience import PreemptionGuard
+
+    before = signal.getsignal(signal.SIGTERM)
+    with PreemptionGuard(signals=(signal.SIGTERM, 0)) as g:
+        assert not g.active
+        assert signal.getsignal(signal.SIGTERM) is before
+    assert signal.getsignal(signal.SIGTERM) is before

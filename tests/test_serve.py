@@ -135,3 +135,18 @@ def test_cli_scoring_mode(rng, tmp_path):
     )
     assert scores.shape == (23,) and np.isfinite(scores).all()
     np.testing.assert_allclose(np.load(pout), scores)
+
+
+def test_rank_candidates_batch_chunked_matches_unchunked(rng, monkeypatch):
+    """Source chunking (the OOM guard for citation2-scale C) is
+    value-neutral: a 1-pair grid cap (per-source passes) returns exactly
+    what the single fused grid returns."""
+    model, params, g = _setup(rng)
+    sc = Scorer(model, params, g)
+    srcs = rng.integers(0, 80, 9).astype(np.int32)
+    ids_a, sc_a = sc.rank_candidates_batch(srcs, k=7)
+    monkeypatch.setattr(Scorer, "_MAX_GRID_PAIRS", 1)
+    ids_b, sc_b = sc.rank_candidates_batch(srcs, k=7)
+    assert ids_a.shape == ids_b.shape == (9, 7)
+    np.testing.assert_allclose(sc_b, sc_a, rtol=1e-6)
+    np.testing.assert_array_equal(ids_b, ids_a)
