@@ -32,6 +32,7 @@ def _run(script):
         ("quickstart_api.py", "Hits@50 on held-out edges"),
         ("multichip_cpu_mesh.py", "devices: 8"),
         ("serving.py", "top-5 candidates for node 0"),
+        ("custom_dataset.py", "Hits@50 from npz dataset"),
     ],
 )
 def test_example_runs(script, needle):
