@@ -1,4 +1,4 @@
-"""Block-size autotuning for the blocked-CSR SpMM.
+"""Autotuning: blocked-SpMM block sizes and hyperparameter grid search.
 
 The scatter-matmul's row-block size R trades one-hot matmul cost
 (per-edge ~2·R·D flops) against sub-block padding and accumulator
@@ -14,12 +14,14 @@ trials to ride out the shared chip's run-to-run variance.
 
 from __future__ import annotations
 
+import copy
+import itertools
 import time
-from typing import Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["autotune_block"]
+__all__ = ["autotune_block", "grid_search"]
 
 _CANDIDATES: Tuple[Tuple[int, int], ...] = ((256, 512), (512, 512), (1024, 512))
 
@@ -104,3 +106,75 @@ def autotune_block(
         r = 1 << max(0, max(num_nodes, 1).bit_length() - 1)  # pow2 <= N
         return min(r, 512), block_edges
     return best
+
+
+def grid_search(
+    base_args,
+    grid: Dict[str, Sequence],
+    metric: Optional[str] = None,
+    log=print,
+) -> Tuple[Dict, List[Dict]]:
+    """Exhaustive hyperparameter search over CLI flag values.
+
+    The reference offers no tuning support — its README hyperparameters were
+    found by hand.  This driver runs the FULL experiment protocol
+    (``cli.run_experiment``: runs × epochs, per-epoch sampling, eval points,
+    model selection) once per grid point and selects by mean best-validation
+    score, the same argmax-valid criterion the run logger applies within a
+    run (reference logger.py:26-49).
+
+    Args:
+      base_args: an ``argparse.Namespace`` from ``cli.argument`` — the fixed
+        flags.  Each grid point deep-copies it and overrides the swept keys.
+      grid: flag name → list of values, e.g. ``{"lr": [1e-3, 3e-3],
+        "num_neg": [1, 3]}``.  Keys must be existing CLI flags.
+      metric: logger key to select by (``"Hits@50"``, ``"MRR"``, ...);
+        defaults to the ``eval_metric`` flag's natural key (``MRR`` for mrr,
+        ``Hits@50`` for hits).
+      log: progress sink (``None`` silences).
+
+    Returns ``(best, results)``: ``best`` is the winning overrides dict with
+    ``valid``/``test`` means attached; ``results`` has one such dict per grid
+    point in sweep order.
+    """
+    from plnlp_tpu.cli import run_experiment
+
+    for k in grid:
+        if not hasattr(base_args, k):
+            raise ValueError(f"unknown CLI flag in grid: --{k}")
+    if metric is None:
+        metric = "MRR" if getattr(base_args, "eval_metric", "hits") == "mrr" else "Hits@50"
+    emit = log if log is not None else (lambda *a: None)
+
+    keys = list(grid)
+    results: List[Dict] = []
+    best: Optional[Dict] = None
+    for combo in itertools.product(*(grid[k] for k in keys)):
+        overrides = dict(zip(keys, combo))
+        args = copy.deepcopy(base_args)
+        for k, v in overrides.items():
+            setattr(args, k, v)
+        loggers = run_experiment(args, log=lambda *a: None)
+        if metric not in loggers:
+            raise ValueError(
+                f"metric {metric!r} not produced; available: {sorted(loggers)}"
+            )
+        vm, vs, tm, ts = loggers[metric].summary()
+        entry = {
+            **overrides,
+            "valid": float(vm),
+            "valid_std": float(vs),
+            "test": float(tm),
+            "test_std": float(ts),
+        }
+        results.append(entry)
+        emit(
+            f"grid_search: {overrides} -> {metric} valid "
+            f"{vm:.2f} ± {vs:.2f}, test {tm:.2f}"
+        )
+        if best is None or entry["valid"] > best["valid"]:
+            best = entry
+    if best is None:
+        raise ValueError("empty grid")
+    emit(f"grid_search: best {best}")
+    return best, results
