@@ -1,4 +1,8 @@
-from plnlp_tpu.data.custom import load_npz_dataset, save_npz_dataset
+from plnlp_tpu.data.custom import (
+    export_npz_dataset,
+    load_npz_dataset,
+    save_npz_dataset,
+)
 from plnlp_tpu.data.ogb import load_ogb_dataset
 from plnlp_tpu.data.synthetic import make_synthetic_dataset
 
@@ -7,6 +11,7 @@ __all__ = [
     "make_synthetic_dataset",
     "load_npz_dataset",
     "save_npz_dataset",
+    "export_npz_dataset",
     "load_dataset",
 ]
 

@@ -37,7 +37,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-__all__ = ["save_npz_dataset", "load_npz_dataset"]
+__all__ = ["save_npz_dataset", "load_npz_dataset", "export_npz_dataset"]
 
 _SPLITS = ("train", "valid", "test")
 
@@ -120,6 +120,28 @@ def save_npz_dataset(
             arrays[f"split/{s}/{f}"] = np.asarray(v)
     np.savez_compressed(path, **arrays)
     return path
+
+
+def export_npz_dataset(ds: Dict, path: str) -> str:
+    """Convert any loaded dataset dict (``load_ogb_dataset``,
+    ``make_synthetic_dataset``, ...) into one ``.npz`` file.
+
+    Useful for shipping OGB data to production pods as a single
+    torch-pickle-free artifact: the OGB layout's ``split/*.pt`` files
+    require ``torch.load(weights_only=False)`` — arbitrary code execution
+    on untrusted files — while the ``.npz`` holds plain arrays only.
+    """
+    return save_npz_dataset(
+        path,
+        num_nodes=int(ds["num_nodes"]),
+        split_edge=ds["split_edge"],
+        edge_index=ds["edge_index"],
+        node_feat=ds.get("node_feat"),
+        edge_weight=ds.get("edge_weight"),
+        edge_year=ds.get("edge_year"),
+        eval_metric=ds.get("eval_metric", "hits"),
+        directed=bool(ds.get("directed", False)),
+    )
 
 
 def load_npz_dataset(path: str) -> Dict:

@@ -12,6 +12,7 @@ import pytest
 
 from plnlp_tpu.cli import run_experiment
 from plnlp_tpu.data import (
+    export_npz_dataset,
     load_dataset,
     load_npz_dataset,
     make_synthetic_dataset,
@@ -130,6 +131,28 @@ def test_load_dataset_dispatches_npz(tmp_path):
     for name in (f"npz:{p}", p):  # both the prefix and the bare .npz path
         out = load_dataset(name)
         assert out["num_nodes"] == ds["num_nodes"]
+
+
+def test_export_round_trips_full_contract(tmp_path):
+    """export_npz_dataset on a weighted, year-carrying dataset reproduces
+    the whole contract dict — so the collab-style year filter and
+    val-edges-as-input surgery run identically from the .npz."""
+    ds = make_synthetic_dataset(
+        "hits", num_nodes=150, num_edges=1200, seed=8,
+        weighted=True, with_year=True, num_node_feats=4,
+    )
+    out = load_npz_dataset(export_npz_dataset(ds, str(tmp_path / "g.npz")))
+    for k in ("num_nodes", "eval_metric", "directed"):
+        assert out[k] == ds[k], k
+    for k in ("edge_index", "node_feat", "edge_weight"):
+        if ds.get(k) is None:
+            assert out.get(k) is None, k
+        else:
+            np.testing.assert_array_equal(out[k], ds[k], err_msg=k)
+    _tree_equal(
+        {k: dict(v) for k, v in ds["split_edge"].items()},
+        out["split_edge"],
+    )
 
 
 def test_cli_npz_matches_in_memory_dataset(tmp_path):
