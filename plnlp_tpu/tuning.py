@@ -21,7 +21,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["autotune_block", "grid_search"]
+__all__ = ["autotune_block", "grid_search", "random_search"]
 
 _CANDIDATES: Tuple[Tuple[int, int], ...] = ((256, 512), (512, 512), (1024, 512))
 
@@ -177,4 +177,58 @@ def grid_search(
     if best is None:
         raise ValueError("empty grid")
     emit(f"grid_search: best {best}")
+    return best, results
+
+
+def random_search(
+    base_args,
+    space: Dict[str, Sequence],
+    num_trials: int,
+    metric: Optional[str] = None,
+    seed: int = 0,
+    log=print,
+) -> Tuple[Dict, List[Dict]]:
+    """Random hyperparameter search: ``num_trials`` draws from ``space``.
+
+    Same contract as :func:`grid_search` but each trial samples one value
+    per flag uniformly (with replacement across trials, deduplicated —
+    a repeated draw is skipped, so fewer than ``num_trials`` results can
+    come back on small spaces).  Preferable to the full grid when the
+    space is large: random search covers each 1-D marginal ``num_trials``
+    times where a grid of equal budget covers it ``budget^(1/d)`` times
+    (Bergstra & Bengio, 2012).
+    """
+    rng = np.random.default_rng(seed)
+    keys = list(space)
+    for k in keys:
+        if not hasattr(base_args, k):
+            raise ValueError(f"unknown CLI flag in space: --{k}")
+        if not len(space[k]):
+            raise ValueError(f"empty value list for --{k}")
+    seen = set()
+    combos = []
+    for _ in range(num_trials):
+        combo = tuple(space[k][rng.integers(len(space[k]))] for k in keys)
+        if combo in seen:
+            continue
+        seen.add(combo)
+        combos.append(combo)
+    # Reuse grid_search's runner on the sampled points: a degenerate
+    # "grid" with exactly one value per axis per trial.
+    results: List[Dict] = []
+    best: Optional[Dict] = None
+    for combo in combos:
+        b, r = grid_search(
+            base_args,
+            {k: [v] for k, v in zip(keys, combo)},
+            metric=metric,
+            log=log,
+        )
+        results.extend(r)
+        if best is None or b["valid"] > best["valid"]:
+            best = b
+    if best is None:
+        raise ValueError("num_trials must be >= 1")
+    if log is not None:
+        log(f"random_search: best {best}")
     return best, results

@@ -2,7 +2,7 @@
 
 import pytest
 
-from plnlp_tpu.tuning import grid_search
+from plnlp_tpu.tuning import grid_search, random_search
 
 from test_cli import _args
 
@@ -27,6 +27,21 @@ def test_grid_search_selects_best_valid():
 def test_grid_search_rejects_unknown_flag():
     with pytest.raises(ValueError, match="unknown CLI flag"):
         grid_search(_args(), {"not_a_flag": [1]}, log=None)
+
+
+def test_random_search_samples_and_dedupes():
+    base = _args(data_name="synthetic:hits:num_nodes=200,num_edges=2000")
+    best, results = random_search(
+        base, {"lr": [1e-3, 1e-2]}, num_trials=6, seed=1, log=None
+    )
+    # 6 draws from a 2-point space must collapse to <= 2 unique trials
+    assert 1 <= len(results) <= 2
+    assert len({r["lr"] for r in results}) == len(results)
+    assert best == max(results, key=lambda r: r["valid"])
+    with pytest.raises(ValueError, match="unknown CLI flag"):
+        random_search(base, {"nope": [1]}, num_trials=1, log=None)
+    with pytest.raises(ValueError, match="num_trials"):
+        random_search(base, {"lr": [1e-3]}, num_trials=0, log=None)
 
 
 def test_grid_search_metric_default_tracks_eval_metric():
