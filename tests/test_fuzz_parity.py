@@ -60,7 +60,7 @@ def _run_steps(model, params, opt_state, graph, graph_t, node_feats, batches):
     return losses, params
 
 
-@pytest.mark.parametrize("seed", range(14))
+@pytest.mark.parametrize("seed", range(16))
 def test_fuzz_train_parity_across_backends(seed):
     rng = np.random.default_rng(1000 + seed)
     n = int(rng.integers(8, 60))
