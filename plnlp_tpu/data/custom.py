@@ -179,3 +179,34 @@ def load_npz_dataset(path: str) -> Dict:
             "edge_index"
         ].size else 0
     return out
+
+
+def _main(argv=None):  # python -m plnlp_tpu.data.custom <data_name> <out.npz>
+    """Operator one-liner: convert any --data_name spec (OGB dir name,
+    synthetic:* spec) into a portable .npz, e.g.
+
+        python -m plnlp_tpu.data.custom ogbl-collab collab.npz --root dataset
+    """
+    import argparse
+
+    from plnlp_tpu.data import load_dataset
+
+    p = argparse.ArgumentParser(
+        prog="plnlp_tpu.data.custom",
+        description="Convert a dataset spec into one portable .npz file",
+    )
+    p.add_argument("data_name", help="OGB name, synthetic:* spec, or npz:<path>")
+    p.add_argument("out", help="output .npz path")
+    p.add_argument("--root", default="dataset", help="OGB data root dir")
+    a = p.parse_args(argv)
+    ds = load_dataset(a.data_name, a.root)
+    out = export_npz_dataset(ds, a.out)
+    print(
+        f"wrote {out}: num_nodes={ds['num_nodes']} "
+        f"edges={ds['edge_index'].shape[1]} metric={ds['eval_metric']}"
+    )
+    return out
+
+
+if __name__ == "__main__":  # pragma: no cover — exercised via subprocess test
+    _main()

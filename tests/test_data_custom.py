@@ -155,6 +155,16 @@ def test_export_round_trips_full_contract(tmp_path):
     )
 
 
+def test_converter_main(tmp_path):
+    """python -m plnlp_tpu.data.custom <spec> <out.npz> round-trips."""
+    from plnlp_tpu.data.custom import _main
+
+    out = str(tmp_path / "conv.npz")
+    _main(["synthetic:hits:num_nodes=120,num_edges=900", out])
+    ds = load_npz_dataset(out)
+    assert ds["num_nodes"] == 120 and "train" in ds["split_edge"]
+
+
 def test_cli_npz_matches_in_memory_dataset(tmp_path):
     """Exporting the default synthetic:hits dataset and training from the
     .npz must reproduce the in-memory run exactly (same seeds, same
