@@ -41,6 +41,29 @@ __all__ = ["save_npz_dataset", "load_npz_dataset", "export_npz_dataset"]
 
 _SPLITS = ("train", "valid", "test")
 
+# Split fields that hold node ids — validated against num_nodes at save
+# time.  JAX gathers CLIP out-of-range indices silently at eval time, so a
+# bad negative pool would otherwise yield wrong metrics with no error.
+_ID_FIELDS = ("edge", "edge_neg", "source_node", "target_node", "target_node_neg")
+
+
+def _validate_ids(split: str, field: str, v: np.ndarray, num_nodes: int):
+    """Check an id-bearing split array and return it cast to int64."""
+    if not np.issubdtype(np.asarray(v).dtype, np.integer):
+        raise ValueError(
+            f"split_edge['{split}']['{field}'] must hold integer node ids, "
+            f"got dtype {np.asarray(v).dtype}"
+        )
+    v = np.asarray(v, np.int64)
+    if v.size:
+        lo, hi = int(v.min()), int(v.max())
+        if lo < 0 or hi >= num_nodes:
+            raise ValueError(
+                f"split_edge['{split}']['{field}'] references node ids in "
+                f"[{lo}, {hi}] outside [0, num_nodes={num_nodes})"
+            )
+    return v
+
 
 def _require(split_edge: Dict, split: str, field: str):
     if field not in split_edge.get(split, {}):
@@ -117,7 +140,10 @@ def save_npz_dataset(
         arrays["edge_year"] = np.asarray(edge_year, np.int64).reshape(-1)
     for s, fields in split_edge.items():
         for f, v in fields.items():
-            arrays[f"split/{s}/{f}"] = np.asarray(v)
+            v = np.asarray(v)
+            if f in _ID_FIELDS:
+                v = _validate_ids(s, f, v, num_nodes)
+            arrays[f"split/{s}/{f}"] = v
     np.savez_compressed(path, **arrays)
     return path
 

@@ -126,12 +126,28 @@ def ce_loss(pos_out, neg_out, mask=None, neg_mask=None):
     return pos_loss + neg_loss
 
 
-def info_nce_loss(pos_out, neg_out, num_neg, mask=None):
-    """−mean log(eᵖ/(eᵖ + Σeⁿ)) (reference loss.py:57-62)."""
+def info_nce_loss(pos_out, neg_out, num_neg, mask=None, stable=False):
+    """−mean log(eᵖ/(eᵖ + Σeⁿ)) (reference loss.py:57-62).
+
+    ``stable=False`` keeps the reference's unstabilized ``exp`` exactly:
+    it OVERFLOWS to nan once any score exceeds ~88 in f32 (exp(88) ≈
+    1.7e38 ≈ f32 max) — a faithful parity quirk, not a feature.
+    ``stable=True`` (loss name ``StableInfoNCE``) computes the identical
+    quantity as logsumexp([0, neg − pos]) — finite for any score
+    magnitude, and equal to the reference formula (within _EPS) wherever
+    the reference formula is finite.
+    """
     pos, neg = _pair(pos_out, neg_out, num_neg)
-    pos_exp = jnp.exp(pos)
-    neg_exp = jnp.sum(jnp.exp(neg), axis=1, keepdims=True)
-    x = -jnp.log(pos_exp / (pos_exp + neg_exp) + _EPS)
+    if stable:
+        # −log σ-style form: log(1 + Σ e^(neg−pos)) via max-subtracted
+        # logsumexp over the (num_neg + 1)-way [0, neg − pos] columns.
+        z = jnp.concatenate([jnp.zeros_like(pos), neg - pos], axis=1)
+        zmax = jnp.max(z, axis=1, keepdims=True)
+        x = (zmax + jnp.log(jnp.sum(jnp.exp(z - zmax), axis=1, keepdims=True)))
+    else:
+        pos_exp = jnp.exp(pos)
+        neg_exp = jnp.sum(jnp.exp(neg), axis=1, keepdims=True)
+        x = -jnp.log(pos_exp / (pos_exp + neg_exp) + _EPS)
     if mask is None:
         return jnp.mean(x)
     m = mask.reshape(-1, 1)
@@ -152,6 +168,9 @@ LOSS_NAMES = (
     "LogRank",
     "CE",
     "InfoNCE",
+    # beyond-reference: logsumexp-stable InfoNCE (same math, no f32
+    # overflow at |score| ≳ 88 — see info_nce_loss docstring)
+    "StableInfoNCE",
 )
 
 
@@ -169,6 +188,8 @@ def calculate_loss(
         return ce_loss(pos_out, neg_out, mask=mask)
     if loss_name == "InfoNCE":
         return info_nce_loss(pos_out, neg_out, num_neg, mask=mask)
+    if loss_name == "StableInfoNCE":
+        return info_nce_loss(pos_out, neg_out, num_neg, mask=mask, stable=True)
     if loss_name == "LogRank":
         return log_rank_loss(pos_out, neg_out, num_neg, mask=mask)
     if loss_name == "HingeAUC":

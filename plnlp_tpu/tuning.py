@@ -113,6 +113,7 @@ def grid_search(
     grid: Dict[str, Sequence],
     metric: Optional[str] = None,
     log=print,
+    _announce_best: bool = True,
 ) -> Tuple[Dict, List[Dict]]:
     """Exhaustive hyperparameter search over CLI flag values.
 
@@ -160,6 +161,15 @@ def grid_search(
                 f"metric {metric!r} not produced; available: {sorted(loggers)}"
             )
         vm, vs, tm, ts = loggers[metric].summary()
+        if np.isnan(vm):
+            # epochs < eval_steps records no eval points; a silent NaN here
+            # would make every best-comparison False and return the first
+            # (unevaluated) point as "best".
+            raise ValueError(
+                f"grid point {overrides} recorded no eval points (valid mean "
+                f"is NaN) — epochs={args.epochs} < eval_steps="
+                f"{args.eval_steps}?"
+            )
         entry = {
             **overrides,
             "valid": float(vm),
@@ -176,7 +186,8 @@ def grid_search(
             best = entry
     if best is None:
         raise ValueError("empty grid")
-    emit(f"grid_search: best {best}")
+    if _announce_best:
+        emit(f"grid_search: best {best}")
     return best, results
 
 
@@ -223,6 +234,7 @@ def random_search(
             {k: [v] for k, v in zip(keys, combo)},
             metric=metric,
             log=log,
+            _announce_best=False,  # one line per trial + one final best
         )
         results.extend(r)
         if best is None or b["valid"] > best["valid"]:

@@ -103,6 +103,44 @@ def test_info_nce(batch):
     np.testing.assert_allclose(float(got), expect, rtol=1e-5)
 
 
+def test_stable_info_nce_matches_reference_formula(batch):
+    """StableInfoNCE == InfoNCE wherever the reference formula is finite."""
+    pos, neg, _, p, k = batch
+    ref = L.info_nce_loss(jnp.asarray(pos), jnp.asarray(neg), k)
+    got = L.info_nce_loss(jnp.asarray(pos), jnp.asarray(neg), k, stable=True)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    via_dispatch = L.calculate_loss(
+        "StableInfoNCE", jnp.asarray(pos), jnp.asarray(neg), k
+    )
+    np.testing.assert_allclose(float(via_dispatch), float(got), rtol=1e-7)
+
+
+def test_stable_info_nce_large_scores():
+    """At |score| ~ 100 the reference formula overflows exp() to nan in f32
+    (documented quirk); the stable path stays finite with correct values."""
+    import jax
+
+    p, k = 8, 3
+    rng = np.random.default_rng(3)
+    pos = (100.0 * rng.standard_normal(p)).astype(np.float32)
+    neg = (100.0 * rng.standard_normal(p * k)).astype(np.float32)
+    unstable = L.info_nce_loss(jnp.asarray(pos), jnp.asarray(neg), k)
+    assert not np.isfinite(float(unstable))  # pin the overflow bound quirk
+    stable = L.info_nce_loss(jnp.asarray(pos), jnp.asarray(neg), k, stable=True)
+    # f64 ground truth via logsumexp identity
+    po = pos.astype(np.float64).reshape(-1, 1)
+    ne = neg.astype(np.float64).reshape(-1, k)
+    z = np.concatenate([np.zeros_like(po), ne - po], axis=1)
+    zm = z.max(1, keepdims=True)
+    expect = (zm + np.log(np.exp(z - zm).sum(1, keepdims=True))).mean()
+    np.testing.assert_allclose(float(stable), expect, rtol=1e-5)
+    # gradient must be finite too
+    g = jax.grad(
+        lambda a, b: L.info_nce_loss(a, b, k, stable=True)
+    )(jnp.asarray(pos), jnp.asarray(neg))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_masked_equals_unpadded(batch):
     """Padding with mask must equal the unpadded loss for every loss."""
     pos, neg, w, p, k = batch
