@@ -11,10 +11,14 @@ main.py:74,95) by reading the published OGB directory layout directly:
         raw/edge_year.csv.gz            (optional)
         split/<split_type>/{train,valid,test}.pt   (torch-pickled dicts)
 
-The ``.pt`` split files are read via torch.load (torch-cpu is available in
-the image); everything is converted to NumPy immediately.  There is NO
-download path — OGB data must already be on disk (zero-egress environment);
-otherwise use ``synthetic:*`` datasets.
+The ``.pt`` split files are read by a TORCH-FREE restricted reader
+(``_load_pt_without_torch``): torch.save archives of plain tensors are
+rebuilt as NumPy arrays straight from the zip, with every other pickle
+constructor blocked — no arbitrary-code-execution surface and no torch
+runtime dependency.  torch.load(weights_only=True) is the fallback for
+exotic archives; the unsafe weights_only=False path only runs behind a
+loud warning.  There is NO download path — OGB data must already be on
+disk (zero-egress environment); otherwise use ``synthetic:*`` datasets.
 """
 
 from __future__ import annotations
@@ -68,13 +72,135 @@ def _to_numpy(obj):
     return obj
 
 
-def _load_split(split_dir: str) -> Dict:
+# --- torch-free .pt reader -------------------------------------------------
+#
+# OGB split files are torch.save archives (zip with data.pkl + one raw file
+# per storage) holding plain int64/float tensors in dicts.  Unpickling them
+# with torch.load(weights_only=False) executes arbitrary code from the file;
+# this restricted reader rebuilds the tensors as NumPy arrays directly from
+# the zip, allowing ONLY the handful of constructors a tensor archive needs.
+
+_STORAGE_DTYPES = {
+    "DoubleStorage": np.float64,
+    "FloatStorage": np.float32,
+    "HalfStorage": np.float16,
+    "BFloat16Storage": None,  # no numpy dtype; rejected below
+    "LongStorage": np.int64,
+    "IntStorage": np.int32,
+    "ShortStorage": np.int16,
+    "CharStorage": np.int8,
+    "ByteStorage": np.uint8,
+    "BoolStorage": np.bool_,
+}
+
+
+class _StorageTag:
+    """Stand-in for torch.<T>Storage classes during restricted unpickling."""
+
+    def __init__(self, dtype):
+        self.dtype = dtype
+
+
+def _rebuild_tensor_v2(
+    storage, storage_offset, size, stride, requires_grad, backward_hooks,
+    metadata=None,
+):
+    """NumPy twin of torch._utils._rebuild_tensor_v2: view the flat storage
+    at (offset, size, stride) in ELEMENTS, then copy to a contiguous array."""
+    if not size:
+        return storage[storage_offset].copy()
+    itemsize = storage.dtype.itemsize
+    view = np.lib.stride_tricks.as_strided(
+        storage[storage_offset:],
+        shape=tuple(size),
+        strides=tuple(s * itemsize for s in stride),
+    )
+    return np.ascontiguousarray(view)
+
+
+def _load_pt_without_torch(path: str):
+    """Read a torch.save zip archive of plain tensors into NumPy without
+    importing torch and without executing pickled code.  Raises
+    pickle.UnpicklingError on anything beyond dict/list/tensor content."""
+    import pickle
+    import zipfile
+
+    _ALLOWED = {
+        ("torch._utils", "_rebuild_tensor_v2"): _rebuild_tensor_v2,
+        ("collections", "OrderedDict"): dict,
+    }
+
+    with zipfile.ZipFile(path) as zf:
+        pkl_name = next(
+            n for n in zf.namelist() if n.split("/")[-1] == "data.pkl"
+        )
+        prefix = pkl_name[: -len("data.pkl")]
+
+        class _Restricted(pickle.Unpickler):
+            def find_class(self, module, name):
+                if (module, name) in _ALLOWED:
+                    return _ALLOWED[(module, name)]
+                if module == "torch" and name in _STORAGE_DTYPES:
+                    dt = _STORAGE_DTYPES[name]
+                    if dt is None:
+                        raise pickle.UnpicklingError(
+                            f"unsupported storage dtype {name}"
+                        )
+                    return _StorageTag(dt)
+                raise pickle.UnpicklingError(
+                    f"blocked unpickle of {module}.{name} — OGB split "
+                    f"files contain only plain tensors; refusing "
+                    f"arbitrary constructors"
+                )
+
+            def persistent_load(self, pid):
+                # ('storage', <storage tag>, key, location, numel)
+                if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
+                    raise pickle.UnpicklingError(f"unknown persistent id {pid!r}")
+                tag, key, _location, numel = pid[1], pid[2], pid[3], pid[4]
+                if not isinstance(tag, _StorageTag):
+                    raise pickle.UnpicklingError(
+                        f"unexpected storage type {tag!r}"
+                    )
+                raw = zf.read(f"{prefix}data/{key}")
+                return np.frombuffer(raw, dtype=tag.dtype)[: int(numel)]
+
+        with zf.open(pkl_name) as f:
+            return _Restricted(f).load()
+
+
+def _load_split_file(path: str):
+    """Torch-free reader first; torch.load(weights_only=True) as the safe
+    fallback; the unsafe weights_only=False path only behind a loud warning
+    (arbitrary code execution on untrusted files)."""
+    try:
+        return _load_pt_without_torch(path)
+    except Exception as e:
+        torch_free_err = e
+    import warnings
+
     import torch
 
+    try:
+        return _to_numpy(torch.load(path, map_location="cpu", weights_only=True))
+    except Exception:
+        warnings.warn(
+            f"{path}: torch-free reader failed ({torch_free_err!r}) and "
+            f"torch.load(weights_only=True) rejected the file; falling back "
+            f"to weights_only=False, which EXECUTES code embedded in the "
+            f"pickle — only do this with files you trust",
+            stacklevel=2,
+        )
+        return _to_numpy(
+            torch.load(path, map_location="cpu", weights_only=False)
+        )
+
+
+def _load_split(split_dir: str) -> Dict:
     out = {}
     for name in ("train", "valid", "test"):
         path = os.path.join(split_dir, f"{name}.pt")
-        out[name] = _to_numpy(torch.load(path, map_location="cpu", weights_only=False))
+        out[name] = _load_split_file(path)
     return out
 
 

@@ -1,0 +1,123 @@
+"""Torch-free OGB .pt split reading (data/ogb.py _load_pt_without_torch).
+
+The reference loads splits through ogb's torch pickles (reference
+main.py:95); round-2 carried that as torch.load(weights_only=False) —
+arbitrary code execution on untrusted files.  These tests pin the
+restricted reader: byte-exact tensor recovery WITHOUT torch on the import
+path, stride/offset handling, and rejection of non-tensor constructors.
+"""
+
+import io
+import pickle
+import sys
+import zipfile
+
+import numpy as np
+import pytest
+import torch
+
+from plnlp_tpu.data.ogb import (
+    _load_pt_without_torch,
+    _load_split_file,
+)
+
+
+def _load_with_torch_blocked(path):
+    """Call the loader with `import torch` made to fail — proves the
+    torch-free reader handled the file without touching the fallback."""
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setitem(sys.modules, "torch", None)
+        return _load_split_file(str(path))
+    finally:
+        mp.undo()
+
+
+def test_plain_tensors_roundtrip(tmp_path):
+    path = tmp_path / "train.pt"
+    data = {
+        "edge": torch.arange(24, dtype=torch.int64).reshape(12, 2),
+        "weight": torch.linspace(0, 1, 12, dtype=torch.float32),
+        "year": torch.full((12,), 2011, dtype=torch.int64),
+    }
+    torch.save(data, path)
+    out = _load_with_torch_blocked(path)
+    assert set(out) == set(data)
+    for k in data:
+        got = out[k]
+        assert isinstance(got, np.ndarray), k
+        np.testing.assert_array_equal(got, data[k].numpy())
+
+
+def test_noncontiguous_and_offset_tensors(tmp_path):
+    """Stride/offset metadata must be honored (transposed + sliced views)."""
+    path = tmp_path / "views.pt"
+    base = torch.arange(40, dtype=torch.int64).reshape(5, 8)
+    data = {
+        "t": base.T,            # non-contiguous stride
+        "s": base[1:4, 2:7],    # storage offset + stride
+        "scalar": torch.tensor(7, dtype=torch.int64),
+    }
+    torch.save(data, path)
+    out = _load_with_torch_blocked(path)
+    np.testing.assert_array_equal(out["t"], base.T.numpy())
+    np.testing.assert_array_equal(out["s"], base[1:4, 2:7].numpy())
+    assert int(out["scalar"]) == 7
+
+
+def test_nested_containers(tmp_path):
+    path = tmp_path / "nest.pt"
+    data = {"a": {"b": [torch.ones(3), torch.zeros(2, dtype=torch.bool)]}}
+    torch.save(data, path)
+    out = _load_with_torch_blocked(path)
+    np.testing.assert_array_equal(out["a"]["b"][0], np.ones(3, np.float32))
+    np.testing.assert_array_equal(out["a"]["b"][1], np.zeros(2, bool))
+
+
+def _evil_zip(path, payload_cls):
+    """A torch.save-shaped zip whose pickle calls a non-tensor constructor."""
+    buf = io.BytesIO()
+    pickle.dump(payload_cls(), buf)
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", buf.getvalue())
+
+
+def test_restricted_reader_blocks_constructors(tmp_path):
+    import collections
+
+    path = tmp_path / "evil.pt"
+    _evil_zip(str(path), collections.Counter)
+    with pytest.raises(pickle.UnpicklingError, match="blocked unpickle"):
+        _load_pt_without_torch(str(path))
+
+
+class _CustomPayload:
+    """Custom class torch.load(weights_only=True) refuses to construct."""
+
+    def __eq__(self, other):
+        return isinstance(other, _CustomPayload)
+
+
+def test_safe_fallback_for_allowlisted_containers(tmp_path):
+    """Content beyond plain tensors that weights_only=True still accepts
+    loads through the SAFE fallback, with no warning."""
+    import collections
+    import warnings
+
+    path = tmp_path / "counter.pt"
+    torch.save({"c": collections.Counter({"x": 1})}, path)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out = _load_split_file(str(path))
+    assert out["c"] == collections.Counter({"x": 1})
+
+
+def test_unsafe_fallback_warns(tmp_path):
+    """Exotic archives reach weights_only=False only behind a loud warning."""
+    path = tmp_path / "exotic.pt"
+    # A real torch archive whose content the restricted reader AND
+    # torch.load(weights_only=True) both reject (custom constructor).
+    torch.save({"o": _CustomPayload()}, path)
+    with pytest.warns(UserWarning, match="weights_only=False"):
+        out = _load_split_file(str(path))
+    assert out["o"] == _CustomPayload()
