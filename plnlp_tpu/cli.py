@@ -202,9 +202,17 @@ def apply_dataset_surgery(ds: Dict, args) -> Dict:
         adj_weight = np.asarray(adj_weight, np.float32).reshape(-1)
     symmetrize = bool(ds.get("directed"))  # citation2: to_symmetric (main.py:109-110)
 
-    if args.data_name.startswith("ogbl-collab") or (
-        ds["name"].startswith("synthetic") and "year" in split_edge.get("train", {})
-    ):
+    # GATING (documented deviation, see MIGRATION.md): the reference wraps
+    # BOTH the year filter and use_valedges_as_input inside
+    # `args.data_name == 'ogbl-collab'` (reference main.py:112-130).  For
+    # ogbl-* names we gate identically — the flags are silent no-ops off
+    # collab, like the reference.  NON-OGB datasets (synthetic:*, npz:*)
+    # have no reference counterpart, so the collab surgeries apply there
+    # whenever the split carries the needed keys (custom-data support).
+    is_ogb = args.data_name.startswith("ogbl-")
+    collab_like = args.data_name.startswith("ogbl-collab") or not is_ogb
+
+    if collab_like:
         # Year filter (main.py:113-127)
         if args.year > 0 and "year" in split_edge["train"]:
             sel = split_edge["train"]["year"] >= args.year
@@ -225,7 +233,7 @@ def apply_dataset_surgery(ds: Dict, args) -> Dict:
             )
             adj_src, adj_dst, adj_weight = s, d, w
             symmetrize = False
-    if args.use_valedges_as_input and "edge" in split_edge["train"]:
+    if args.use_valedges_as_input and collab_like and "edge" in split_edge["train"]:
         # Use training + validation edges (main.py:129-150).
         tr = split_edge["train"]["edge"]
         va = split_edge["valid"]["edge"]

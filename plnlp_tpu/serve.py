@@ -42,10 +42,15 @@ class Scorer:
         graph_t=None,
         node_feats=None,
         mesh=None,
+        exclude_graph=None,
     ):
         self.model = model
         self.params = params
         self.mesh = mesh
+        # Known-edge exclusion source for rank_candidates(exclude_edges=True):
+        # defaults to the scoring graph itself; multi-chip callers whose
+        # ``graph`` is a GraphParallel pass the replicated CSR twin here.
+        self.exclude_graph = exclude_graph if exclude_graph is not None else graph
         # Encode once in eval mode (no dropout).  Row N is the mean
         # representation — the unseen-node convention (reference
         # model.py:191-194), reachable by passing index -1 in queries.
@@ -89,15 +94,80 @@ class Scorer:
         src: int,
         candidates: Optional[np.ndarray] = None,
         k: int = 10,
+        exclude_edges: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k destination candidates for ``src`` by predicted score.
 
         ``candidates`` defaults to every node.  Returns (node_ids, scores),
         both sorted by descending score — the serving analog of the
         link-prediction task the eval metrics rank.
+
+        ``exclude_edges=True`` masks candidates already linked to ``src``
+        in the adjacency (score −inf) — the standard recommendation-serving
+        filter: predicting a node's EXISTING neighbors as new links is
+        useless output.
         """
-        ids, scores = self.rank_candidates_batch([src], candidates, k)
+        ids, scores = self.rank_candidates_batch(
+            [src], candidates, k, exclude_edges=exclude_edges
+        )
         return ids[0], scores[0]
+
+    def _neighbor_mask_fn(self, candidates: np.ndarray):
+        """Returns fn(srcs_dev, scores) -> scores with known-edge candidate
+        columns set to −inf, built for this candidate list (host prep once
+        per call, device work per chunk)."""
+        from plnlp_tpu.dense import DenseAdj
+        from plnlp_tpu.graph import Graph
+
+        g = self.exclude_graph
+        n = self.model.num_nodes
+        c = len(candidates)
+        identity = c == n and np.array_equal(candidates, np.arange(n))
+        if identity:
+            cand_pos = None
+        else:
+            # node id -> column in the candidate list; c (out of bounds,
+            # dropped by the scatter) for non-candidates.
+            pos = np.full(n, c, np.int32)
+            pos[candidates] = np.arange(c, dtype=np.int32)
+            cand_pos = jnp.asarray(pos)
+
+        if isinstance(g, DenseAdj):
+            def mask_dense(srcs_d, scores):
+                rows = g.adj[srcs_d]  # (sc, N)
+                if cand_pos is not None:
+                    rows = rows[:, jnp.asarray(candidates)]
+                return jnp.where(rows != 0, -jnp.inf, scores)
+
+            return mask_dense
+        if isinstance(g, Graph):
+            # Static-shape neighbor window per source: senders of the
+            # in-edges of src (== its neighbors on the symmetric graphs
+            # link prediction serves; for directed adjacencies this masks
+            # v with edge v->src).
+            md = max(int(g.max_degree), 1)
+            offs = jnp.arange(md, dtype=jnp.int32)
+
+            def mask_csr(srcs_d, scores):
+                lo = g.indptr[srcs_d]  # (sc,)
+                deg = g.indptr[srcs_d + 1] - lo
+                idx = lo[:, None] + offs[None, :]  # (sc, md)
+                valid = offs[None, :] < deg[:, None]
+                nbr = g.senders[jnp.clip(idx, 0, g.senders.shape[0] - 1)]
+                col = nbr if cand_pos is None else cand_pos[nbr]
+                # invalid window slots -> out-of-bounds column, dropped
+                col = jnp.where(valid, col, scores.shape[1])
+                rows = jnp.broadcast_to(
+                    jnp.arange(scores.shape[0])[:, None], col.shape
+                )
+                return scores.at[rows, col].set(-jnp.inf, mode="drop")
+
+            return mask_csr
+        raise ValueError(
+            f"exclude_edges needs a CSR Graph or DenseAdj to read known "
+            f"edges from; got {type(g).__name__} — pass exclude_graph= to "
+            f"Scorer (e.g. the replicated sample graph on multi-chip runs)"
+        )
 
     # Upper bound on the on-device S×C pair grid per scoring pass.  8M pairs
     # = 64 MB of int32 indices + 32 MB of f32 scores — far from HBM limits
@@ -110,6 +180,7 @@ class Scorer:
         srcs,
         candidates: Optional[np.ndarray] = None,
         k: int = 10,
+        exclude_edges: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k candidates for MANY source nodes in fused scoring passes.
 
@@ -117,6 +188,10 @@ class Scorer:
         trip per ~8M-pair source chunk instead of one per source) — the
         recommendation-serving shape.  Returns (node_ids, scores), both
         (S, k), rows sorted by descending score.
+
+        ``exclude_edges=True``: candidates with a known edge to the source
+        score −inf and fall out of the top-k (if a source has fewer than k
+        unlinked candidates the tail comes back with −inf scores).
         """
         srcs = np.asarray(srcs, np.int32).reshape(-1)
         if candidates is None:
@@ -125,6 +200,7 @@ class Scorer:
             candidates = np.asarray(candidates, np.int32)
         s, c = len(srcs), len(candidates)
         k = min(k, c)
+        mask_fn = self._neighbor_mask_fn(candidates) if exclude_edges else None
         # Build the pair grid ON DEVICE and top-k ON DEVICE: only the (S,)
         # sources go up and only the (S, k) results come back — the S×C×2
         # index grid and S×C scores never cross the host link (measured:
@@ -148,6 +224,8 @@ class Scorer:
                 .reshape(sc, c)
                 .astype(jnp.float32)
             )
+            if mask_fn is not None:
+                scores = mask_fn(srcs_d, scores)
             # Per-source top-k is independent across chunks — no merge.
             top_scores, top_idx = jax.lax.top_k(scores, k)  # sorted desc
             ids_out.append(np.asarray(cand_d[top_idx]))

@@ -118,6 +118,34 @@ def test_surgery_valedges_as_input():
     assert (va[0], va[1]) in adj_pairs and (va[1], va[0]) in adj_pairs
 
 
+def test_surgery_gating_matches_reference():
+    """Reference gates year filter AND use_valedges_as_input inside
+    `data_name == 'ogbl-collab'` (main.py:112-130): on other ogbl-* names
+    both flags are silent no-ops.  Non-OGB datasets keep the broader
+    behavior (documented deviation, docs/MIGRATION.md)."""
+    ds = make_synthetic_dataset("hits", weighted=True, with_year=True)
+
+    # ogbl non-collab name: flags must be no-ops like the reference
+    args = _args(use_valedges_as_input=True, year=2005, data_name="ogbl-ddi")
+    out = apply_dataset_surgery(ds, args)
+    np.testing.assert_array_equal(
+        out["split_edge"]["train"]["edge"], ds["split_edge"]["train"]["edge"]
+    )
+    base = apply_dataset_surgery(
+        ds, _args(data_name="ogbl-ddi", year=-1)
+    )
+    np.testing.assert_array_equal(out["adj_src"], base["adj_src"])
+    np.testing.assert_array_equal(out["adj_dst"], base["adj_dst"])
+
+    # non-OGB dataset (synthetic/npz): surgeries APPLY when keys exist
+    args_c = _args(use_valedges_as_input=True, year=2005, data_name="synthetic:hits")
+    out_c = apply_dataset_surgery(ds, args_c)
+    n_filtered = int((ds["split_edge"]["train"]["year"] >= 2005).sum())
+    assert len(out_c["split_edge"]["train"]["edge"]) == n_filtered + len(
+        ds["split_edge"]["valid"]["edge"]
+    )
+
+
 def test_get_eval_edges_mrr_layout():
     ds = make_synthetic_dataset("mrr", neg_per_source=7)
     ee = get_eval_edges(ds["split_edge"], "valid")

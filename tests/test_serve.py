@@ -84,6 +84,68 @@ def test_rank_candidates_batch_matches_per_source(rng):
         assert set(ids_b[i].tolist()) == set(want.tolist())
 
 
+def _neighbors_of(g, s):
+    indptr = np.asarray(g.indptr)
+    return set(np.asarray(g.senders)[indptr[s] : indptr[s + 1]].tolist())
+
+
+def test_exclude_edges_removes_known_neighbors(rng):
+    """exclude_edges=True: a trained node's existing neighbors are absent
+    from the top-k (the standard serving filter); other rankings intact."""
+    model, params, g = _setup(rng)
+    sc = Scorer(model, params, g)
+    src = 5
+    nbrs = _neighbors_of(g, src)
+    assert nbrs, "test graph must give node 5 some neighbors"
+    k = 20
+    ids_x, scores_x = sc.rank_candidates(src, k=k, exclude_edges=True)
+    assert not (set(ids_x.tolist()) & nbrs)
+    assert np.isfinite(scores_x).all()  # 80 nodes >> deg + k
+    # non-excluded ranking unchanged, and excluded == non-excluded with
+    # neighbor entries dropped
+    ids_a, scores_a = sc.rank_candidates(src, k=80)
+    kept = [
+        (i, s) for i, s in zip(ids_a.tolist(), scores_a.tolist())
+        if i not in nbrs
+    ][:k]
+    np.testing.assert_array_equal(ids_x, [i for i, _ in kept])
+    np.testing.assert_allclose(scores_x, [s for _, s in kept], rtol=1e-6)
+
+
+def test_exclude_edges_with_candidate_subset(rng):
+    model, params, g = _setup(rng)
+    sc = Scorer(model, params, g)
+    src = 5
+    nbrs = sorted(_neighbors_of(g, src))
+    non = [i for i in range(80) if i not in nbrs]
+    subset = np.array(nbrs[:2] + non[:5], np.int32)
+    ids, scores = sc.rank_candidates(
+        src, candidates=subset, k=7, exclude_edges=True
+    )
+    # the 2 neighbor candidates rank LAST with -inf scores
+    assert set(ids[:5].tolist()) == set(non[:5])
+    assert np.isinf(scores[5:]).all() and (scores[5:] < 0).all()
+
+
+def test_exclude_edges_dense_backend(rng):
+    from plnlp_tpu.dense import prepare_dense
+    from tests.conftest import random_graph_np
+
+    src_e, dst_e, _ = random_graph_np(rng, 80, 500)
+    dense = prepare_dense(src_e, dst_e, None, num_nodes=80)
+    cfg = ModelConfig(
+        emb_hidden_channels=16, gnn_hidden_channels=16,
+        mlp_hidden_channels=16, batch_size=64,
+    )
+    model = Model(cfg, num_nodes=80)
+    params = model.init_params(jax.random.PRNGKey(0))
+    sc = Scorer(model, params, dense)
+    adj = np.asarray(dense.adj)
+    nbrs = set(np.nonzero(adj[5])[0].tolist())
+    ids, _ = sc.rank_candidates(5, k=20, exclude_edges=True)
+    assert not (set(ids.tolist()) & nbrs)
+
+
 def test_from_checkpoint_round_trip(rng, tmp_path):
     model, params, g = _setup(rng)
     from plnlp_tpu.checkpoint import CheckpointManager
