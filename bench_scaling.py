@@ -6,12 +6,62 @@ still runs — set JAX_PLATFORMS=cpu with
 XLA_FLAGS=--xla_force_host_platform_device_count=N for a functional (not
 performance-meaningful) check of the same code path.
 
-Prints one JSON line per (shards, comm) configuration.
+Prints one JSON line per (shards, comm, reorder) configuration, including
+the per-shard load report (real edge counts + sub-block counts — the
+numbers that decide whether compute is hub-bound), plus one collective
+micro-bench line per shard count that measures all_gather vs all_to_all on
+the actual devices and reports the implied ``latency_rows`` wire constant
+for calibrating ``--partition_comm=auto`` (graph_parallel.choose_comm).
 """
 
 import argparse
 import json
 import time
+
+
+def _collective_microbench(mesh, shards, rows, dim):
+    """Measure one tiled all_gather vs one tiled all_to_all over the 'node'
+    axis and derive the implied per-collective latency in row-equivalents."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    rows = -(-rows // shards) * shards  # all_to_all needs rows % S == 0
+    x = jnp.ones((shards * rows, dim), jnp.float32)
+
+    def ag(x_blk):
+        s = jnp.sum(jax.lax.all_gather(x_blk, "node", axis=0, tiled=True))
+        return jax.lax.psum(s, "node")
+
+    def a2a(x_blk):
+        s = jnp.sum(
+            jax.lax.all_to_all(
+                x_blk, "node", split_axis=0, concat_axis=0, tiled=True
+            )
+        )
+        return jax.lax.psum(s, "node")
+
+    out = {}
+    for name, body in (("all_gather", ag), ("all_to_all", a2a)):
+        f = jax.jit(
+            jax.shard_map(
+                body, mesh=mesh, in_specs=(P("node", None),), out_specs=P()
+            )
+        )
+        float(f(x))  # compile + sync
+        t0 = time.time()
+        reps = 20
+        for _ in range(reps):
+            v = f(x)
+        float(v)
+        out[name + "_us"] = (time.time() - t0) / reps * 1e6
+    # rows transferred per shard: all_gather receives (S-1)*rows rows;
+    # all_to_all sends/receives (S-1)/S * rows.  The latency constant is
+    # the zero-volume intercept; approximate it from the smaller op.
+    t_row_us = out["all_gather_us"] / max((shards - 1) * rows, 1)
+    lat_rows = out["all_to_all_us"] / max(t_row_us, 1e-9) * 0.5
+    out["implied_latency_rows"] = round(lat_rows)
+    return out
 
 
 def main():
@@ -21,6 +71,10 @@ def main():
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--comm", type=str, default="all_gather,halo")
+    ap.add_argument(
+        "--reorder", type=str, default="none,degree",
+        help="comma list of node->slot assignment modes to sweep",
+    )
     args = ap.parse_args()
 
     import os
@@ -66,54 +120,76 @@ def main():
                 }
             )
         )
-    for comm in args.comm.split(","):
-        for shards in shard_counts:
-            pg = partition_graph(
-                src, dst, None, num_nodes=args.num_nodes, num_shards=shards,
-                block=(128, 512), symmetrize=True,
-            )
-            if comm == "halo":
-                pg = with_halo(pg)
+    for shards in shard_counts:
+        if shards > 1:
             mesh = make_mesh(data=1, node=shards)
-            gp = GraphParallel(pg=pg, mesh=mesh, comm=comm)
-            x = jnp.asarray(
-                rng.standard_normal((args.num_nodes, args.dim)), jnp.float32
+            mb = _collective_microbench(
+                mesh, shards, rows=max(args.num_nodes // shards // 8, 128),
+                dim=args.dim,
             )
-            xs = shard_node_features(x, pg, mesh)
+            print(json.dumps({"collective_microbench": mb, "shards": shards}))
+    for reorder in args.reorder.split(","):
+        for comm in args.comm.split(","):
+            for shards in shard_counts:
+                pg = partition_graph(
+                    src, dst, None, num_nodes=args.num_nodes,
+                    num_shards=shards, block=(128, 512), symmetrize=True,
+                    reorder=reorder,
+                )
+                if comm == "halo":
+                    pg = with_halo(pg)
+                mesh = make_mesh(data=1, node=shards)
+                gp = GraphParallel(pg=pg, mesh=mesh, comm=comm)
+                x = jnp.asarray(
+                    rng.standard_normal((args.num_nodes, args.dim)),
+                    jnp.float32,
+                )
+                xs = shard_node_features(x, pg, mesh)
 
-            f = jax.jit(
-                jax.value_and_grad(
-                    lambda x: jnp.sum(partitioned_spmm(gp, x, "sum") ** 2)
+                f = jax.jit(
+                    jax.value_and_grad(
+                        lambda x: jnp.sum(partitioned_spmm(gp, x, "sum") ** 2)
+                    )
                 )
-            )
-            v, g = f(xs)
-            float(v)  # readback sync (block_until_ready lies on axon)
-            t0 = time.time()
-            for _ in range(args.iters):
                 v, g = f(xs)
-            float(v)
-            float(jnp.sum(g))
-            dt = (time.time() - t0) / args.iters
-            edges_per_sec = 2 * args.num_edges * 2 / dt  # sym edges, fwd+bwd
-            if shards == shard_counts[0]:
-                base = edges_per_sec
-            print(
-                json.dumps(
-                    {
-                        "comm": comm,
-                        "shards": shards,
-                        "spmm_fwd_bwd_ms": round(dt * 1000, 1),
-                        "edges_per_sec": round(edges_per_sec),
-                        "scaling_efficiency": (
-                            round(edges_per_sec / (base * shards), 3)
-                            if efficiency_valid
-                            else None
-                        ),
-                        "halo_quota": pg.halo_quota,
-                        "halo_hubs": pg.halo_hubs,
-                    }
+                float(v)  # readback sync (block_until_ready lies on axon)
+                t0 = time.time()
+                for _ in range(args.iters):
+                    v, g = f(xs)
+                float(v)
+                float(jnp.sum(g))
+                dt = (time.time() - t0) / args.iters
+                edges_per_sec = 2 * args.num_edges * 2 / dt  # sym, fwd+bwd
+                if shards == shard_counts[0] and base is None:
+                    base = edges_per_sec
+                se = np.asarray(pg.shard_edges, np.float64)
+                nb = np.asarray(pg.shard_nblk, np.float64)
+                print(
+                    json.dumps(
+                        {
+                            "comm": comm,
+                            "reorder": pg.reorder,
+                            "shards": shards,
+                            "spmm_fwd_bwd_ms": round(dt * 1000, 1),
+                            "edges_per_sec": round(edges_per_sec),
+                            "scaling_efficiency": (
+                                round(edges_per_sec / (base * shards), 3)
+                                if efficiency_valid
+                                else None
+                            ),
+                            "rows_per_shard": pg.rows_per_shard,
+                            "shard_edges": pg.shard_edges,
+                            "edge_imbalance": round(
+                                float(se.max() / se.mean()), 3
+                            ) if len(se) else None,
+                            "nblk_imbalance": round(
+                                float(nb.max() / nb.mean()), 3
+                            ) if len(nb) else None,
+                            "halo_quota": pg.halo_quota,
+                            "halo_hubs": pg.halo_hubs,
+                        }
+                    )
                 )
-            )
 
 
 if __name__ == "__main__":

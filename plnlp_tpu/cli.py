@@ -165,10 +165,26 @@ def argument(argv=None):
         "count",
     )
     parser.add_argument(
-        "--partition_comm", type=str, default="all_gather",
-        choices=["all_gather", "halo", "auto"],
-        help="per-layer feature exchange: full all-gather or quota-padded "
-        "halo all_to_all of only the boundary rows",
+        "--partition_comm", type=str, default="auto",
+        choices=["auto", "all_gather", "halo"],
+        help="per-layer feature exchange: quota-padded halo all_to_all of "
+        "only the boundary rows, full all-gather, or auto (linear "
+        "latency+bandwidth model; see --comm_latency_rows)",
+    )
+    parser.add_argument(
+        "--comm_latency_rows", type=float, default=512.0,
+        help="wire constant for --partition_comm=auto: per-collective "
+        "latency expressed in equivalent row transfers; calibrate with "
+        "bench_scaling.py's collective micro-bench",
+    )
+    parser.add_argument(
+        "--partition_reorder", type=str, default="auto",
+        choices=["auto", "none", "edges", "degree", "bfs"],
+        help="node->slot assignment for --num_shards>1: equal-EDGE "
+        "contiguous ranges ('edges'), degree-serpentine balance "
+        "('degree'), BFS locality + equal-edge ranges ('bfs'), legacy "
+        "equal-node ranges ('none'); 'auto' reorders only when the naive "
+        "split is >25% edge-imbalanced",
     )
     # --- serving (no reference counterpart) ---
     parser.add_argument(
@@ -387,7 +403,21 @@ def prepare_experiment(args, log=print, serving=False):
             num_nodes=num_nodes,
             mesh=mesh,
             block=(args.block_rows, args.block_edges),
-            comm=getattr(args, "partition_comm", "all_gather"),
+            comm=getattr(args, "partition_comm", "auto"),
+            latency_rows=getattr(args, "comm_latency_rows", 512.0),
+            reorder=getattr(args, "partition_reorder", "auto"),
+            log=log,
+        )
+        pg = graph.pg
+        log(
+            f"partition: S={pg.num_shards} reorder={pg.reorder} "
+            f"comm={graph.comm} rows_per_shard={pg.rows_per_shard} "
+            f"shard_edges={pg.shard_edges} shard_nblk={pg.shard_nblk}"
+            + (
+                f" halo_quota={pg.halo_quota} halo_hubs={pg.halo_hubs}"
+                if graph.comm == "halo"
+                else ""
+            )
         )
         graph_t = None
     elif use_dense:
@@ -402,6 +432,9 @@ def prepare_experiment(args, log=print, serving=False):
             surg["adj_weight"],
             num_nodes=num_nodes,
             block=(args.block_rows, args.block_edges),
+            # the blocked TransformerConv hand-VJP needs the fwd↔transpose
+            # slot coupling (ops/transformer.py)
+            couple_transpose=args.encoder.upper() == "TRANSFORMER",
         )
     if (num_shards > 1 or use_dense) and not serving:
         # Replicated CSR twin for negative-sampler exclusion + random walks

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -60,6 +62,51 @@ class GraphParallel:
         return self.pg.num_nodes
 
 
+# Default wire constant for the comm='auto' decision: the per-message
+# (collective dispatch + per-peer hop) latency expressed in EQUIVALENT ROW
+# TRANSFERS.  At D=256 f32 one row is 1 KiB; ~2-5 us of per-collective
+# latency over ~100 GB/s ICI is a few hundred rows.  Calibrate on real
+# hardware with bench_scaling.py's collective micro-bench and pass the
+# measured value (CLI --comm_latency_rows).
+_DEFAULT_LATENCY_ROWS = 512
+
+
+def choose_comm(
+    pg: PartitionedGraph, latency_rows: float = _DEFAULT_LATENCY_ROWS
+) -> str:
+    """Pick 'halo' vs 'all_gather' from a linear latency+bandwidth model.
+
+    Per layer pass, with S shards and per-peer/hub quotas (q, qh):
+
+        cost_ag   = (S-1)·LAT + (S-1)·(rows_per_shard)·t_row
+        cost_halo = 2(S-1)·LAT + (S-1)·(q + qh)·t_row
+                    (all_to_all chunks + the hub all_gather)
+
+    halo wins iff  q + qh + latency_rows < rows_per_shard, where
+    ``latency_rows = LAT / t_row`` is the wire constant.  Quotas are
+    ESTIMATED from the boundary sets alone (halo.estimate_halo_quotas,
+    the same code path the builder uses) so the losing branch never pays
+    for the full plan build.
+    """
+    from plnlp_tpu.parallel.halo import estimate_halo_quotas
+
+    S = pg.num_shards
+    if S <= 1:
+        return "all_gather"
+    qf, qhf = estimate_halo_quotas(
+        np.asarray(pg.fwd_blk_src), np.asarray(pg.fwd_blk_weight),
+        pg.rows_per_shard, S,
+    )
+    qb, qhb = estimate_halo_quotas(
+        np.asarray(pg.bwd_blk_src), np.asarray(pg.bwd_blk_weight),
+        pg.rows_per_shard, S,
+    )
+    halo_rows = max(qf, qb) + max(qhf, qhb)
+    return (
+        "halo" if halo_rows + latency_rows < pg.rows_per_shard else "all_gather"
+    )
+
+
 def make_graph_parallel(
     src,
     dst,
@@ -69,7 +116,10 @@ def make_graph_parallel(
     mesh: Mesh,
     block=(128, 512),
     symmetrize: bool = False,
-    comm: str = "all_gather",
+    comm: str = "auto",
+    latency_rows: float = _DEFAULT_LATENCY_ROWS,
+    reorder: Optional[str] = None,
+    log=None,
 ) -> GraphParallel:
     num_shards = mesh.shape["node"]
     pg = partition_graph(
@@ -80,32 +130,17 @@ def make_graph_parallel(
         num_shards=num_shards,
         block=block,
         symmetrize=symmetrize,
+        reorder=reorder,
     )
     if comm == "auto":
-        # Pick by comm volume: halo receives S*(q + qh) rows per shard per
-        # layer pass (per-peer quota + replicated hubs) vs the all-gather's
-        # full padded_nodes rows.  Quotas are ESTIMATED from the boundary
-        # sets alone (halo.estimate_halo_quotas, same code path as the
-        # builder) so the losing branch never pays for the full plan build
-        # — sub-block expansion + device upload of both directions — only
-        # to discard it.
-        from plnlp_tpu.parallel.halo import estimate_halo_quotas
-        from plnlp_tpu.parallel.partition import with_halo
-
-        if num_shards > 1:
-            qf, qhf = estimate_halo_quotas(
-                np.asarray(pg.fwd_blk_src), np.asarray(pg.fwd_blk_weight),
-                pg.rows_per_shard, num_shards,
+        comm = choose_comm(pg, latency_rows)
+        if log is not None:
+            log(
+                f"partition_comm=auto -> {comm} (S={num_shards}, "
+                f"rows_per_shard={pg.rows_per_shard}, "
+                f"latency_rows={latency_rows})"
             )
-            qb, qhb = estimate_halo_quotas(
-                np.asarray(pg.bwd_blk_src), np.asarray(pg.bwd_blk_weight),
-                pg.rows_per_shard, num_shards,
-            )
-            halo_rows = num_shards * (max(qf, qb) + max(qhf, qhb))
-            if halo_rows < 0.9 * pg.padded_nodes:
-                return GraphParallel(pg=with_halo(pg), mesh=mesh, comm="halo")
-        comm = "all_gather"
-    elif comm == "halo":
+    if comm == "halo":
         from plnlp_tpu.parallel.partition import with_halo
 
         pg = with_halo(pg)
@@ -230,14 +265,30 @@ def _direction(pg: PartitionedGraph, mesh: Mesh, comm: str, x, direction: str):
     )
 
 
+# The node→slot relayout (pg.perm_in / perm_out, partition.assign_slots) is
+# applied HERE, inside the custom VJPs, as two pure gathers per pass — the
+# backward never autodiffs through the relayout (a gather's VJP is a scatter;
+# a permutation's inverse is another gather).  The math: with permutation P
+# (x_slots = P x), the slot-space operator A_s computes y = Pᵀ A_s P x, so
+# dX = Pᵀ A_sᵀ P dY — identical wrapping both directions.
+
+
+def _to_slots(pg: PartitionedGraph, x: jnp.ndarray) -> jnp.ndarray:
+    return x if pg.perm_in is None else x[pg.perm_in]
+
+
+def _to_global(pg: PartitionedGraph, y: jnp.ndarray) -> jnp.ndarray:
+    return y if pg.perm_out is None else y[pg.perm_out]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _pspmm(
     pg: PartitionedGraph, x: jnp.ndarray, mesh: Mesh, reduce: str, comm: str
 ):
-    y = _direction(pg, mesh, comm, x, "fwd")
+    y = _direction(pg, mesh, comm, _to_slots(pg, x), "fwd")
     if reduce == "mean":
         y = _mean_scale(pg, y)
-    return y
+    return _to_global(pg, y)
 
 
 def _pspmm_fwd(pg, x, mesh, reduce, comm):
@@ -245,10 +296,11 @@ def _pspmm_fwd(pg, x, mesh, reduce, comm):
 
 
 def _pspmm_bwd(mesh, reduce, comm, pg, g):
+    g = _to_slots(pg, g)
     if reduce == "mean":
         g = _mean_scale(pg, g)
     gx = _direction(pg, mesh, comm, g, "bwd")
-    return (jax.tree_util.tree_map(_zero_cot, pg), gx)
+    return (jax.tree_util.tree_map(_zero_cot, pg), _to_global(pg, gx))
 
 
 _pspmm.defvjp(_pspmm_fwd, _pspmm_bwd)
@@ -509,19 +561,21 @@ def _ptc_bwd_impl(pg: PartitionedGraph, lp, x, alpha, g, mesh):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _ptc(pg: PartitionedGraph, lp, x, mesh):
-    return _ptc_fwd_impl(pg, lp, x, mesh)[0]
+    # node→slot relayout at the VJP boundary, like _pspmm (gathers only)
+    return _to_global(pg, _ptc_fwd_impl(pg, lp, _to_slots(pg, x), mesh)[0])
 
 
 def _ptc_fwd(pg, lp, x, mesh):
-    out, alpha = _ptc_fwd_impl(pg, lp, x, mesh)
-    return out, (pg, lp, x, alpha)
+    x_slots = _to_slots(pg, x)
+    out, alpha = _ptc_fwd_impl(pg, lp, x_slots, mesh)
+    return _to_global(pg, out), (pg, lp, x_slots, alpha)
 
 
 def _ptc_bwd(mesh, res, g):
-    pg, lp, x, alpha = res
-    dx, dlp = _ptc_bwd_impl(pg, lp, x, alpha, g, mesh)
+    pg, lp, x_slots, alpha = res
+    dx, dlp = _ptc_bwd_impl(pg, lp, x_slots, alpha, _to_slots(pg, g), mesh)
     dlp_full = {k: dlp.get(k, jax.tree_util.tree_map(_zero_cot, v)) for k, v in lp.items()}
-    return (jax.tree_util.tree_map(_zero_cot, pg), dlp_full, dx)
+    return (jax.tree_util.tree_map(_zero_cot, pg), dlp_full, _to_global(pg, dx))
 
 
 _ptc.defvjp(_ptc_fwd, _ptc_bwd)

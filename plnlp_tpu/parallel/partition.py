@@ -1,17 +1,41 @@
 """Graph partitioning for multi-chip SpMM (the reference has no equivalent).
 
-Destination rows are split into ``num_shards`` contiguous, equal-size ranges
+Destination rows are split into ``num_shards`` equal-capacity SLOT ranges
 (padded to a multiple of block_rows).  Each shard owns:
 
 * forward structure — its rows' in-edges, blocked for the scatter-matmul
-  (blk_src holds GLOBAL source ids; destinations are shard-local);
+  (blk_src holds slot-space source ids; destinations are shard-local);
 * backward structure — the same edges re-grouped by SOURCE shard: the edges
   whose source lies in the shard, blocked over shard-local source row-blocks
-  with GLOBAL destination ids in blk_src.  dX = Aᵀ dY then has exactly the
-  same compute shape as the forward, so one shard_map body serves both.
+  with slot-space destination ids in blk_src.  dX = Aᵀ dY then has exactly
+  the same compute shape as the forward, so one shard_map body serves both.
 
 All shards are padded to a common sub-block count so the stacked arrays have
 a uniform leading 'shard' axis that maps onto the mesh 'node' axis.
+
+**Load balance / locality (``reorder``).**  The naive assignment (node id ==
+slot, contiguous equal-NODE ranges) is hub-hostile: on power-law graphs one
+shard inherits the hubs, every other shard pads to its sub-block count, and
+per-layer compute flatlines at the hub shard's cost.  ``reorder`` chooses a
+node→slot assignment instead:
+
+* ``'edges'``  — contiguous ranges over the EXISTING id order cut at equal
+  EDGE counts (cheap: one cumsum walk), capacity-capped so no shard exceeds
+  ``cap_factor``× the mean node count.  Preserves whatever locality the id
+  order has.
+* ``'degree'`` — serpentine deal by descending in-degree: equal node counts
+  and near-perfect edge balance, but discards locality (max halo cut).
+* ``'bfs'``    — level-synchronous BFS order (hub-seeded, per component)
+  then equal-edge contiguous ranges over it: edge balance AND a small edge
+  cut on community-structured graphs.
+* ``'auto'``   — measures the naive split's edge imbalance and picks
+  ``'edges'`` when max/mean > 1.25, else the zero-cost identity layout.
+
+A non-identity assignment is carried as two padded-length permutations
+(``perm_in``: slot → global position, ``perm_out``: global position → slot)
+applied as pure gathers inside the custom VJPs — no scatters, no autodiff
+through the relayout.  Everything downstream (halo plans, the transformer
+VJP's slot maps) operates in slot space unchanged.
 """
 
 from __future__ import annotations
@@ -26,7 +50,12 @@ import numpy as np
 
 from plnlp_tpu.graph import _blocks_np, _csr_np, _pad_to
 
-__all__ = ["PartitionedGraph", "partition_graph", "with_halo"]
+__all__ = [
+    "PartitionedGraph",
+    "partition_graph",
+    "with_halo",
+    "assign_slots",
+]
 
 
 @functools.partial(
@@ -44,6 +73,8 @@ __all__ = ["PartitionedGraph", "partition_graph", "with_halo"]
         "local_in_degrees",
         "fwd_halo",
         "bwd_halo",
+        "perm_in",
+        "perm_out",
     ],
     meta_fields=[
         "num_nodes",
@@ -53,6 +84,9 @@ __all__ = ["PartitionedGraph", "partition_graph", "with_halo"]
         "block_edges",
         "halo_quota",
         "halo_hubs",
+        "reorder",
+        "shard_edges",
+        "shard_nblk",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -86,10 +120,26 @@ class PartitionedGraph:
     bwd_halo: Optional[dict] = None
     halo_quota: int = 0  # q: per-peer non-hub boundary rows
     halo_hubs: int = 0  # qh: per-owner replicated hub rows
+    # --- optional node→slot relayout (None = identity) ---
+    # perm_in[slot] = global position, perm_out[global position] = slot;
+    # both (padded_nodes,) int32, mutually inverse permutations.  Applied
+    # as gathers at the custom-VJP boundary (graph_parallel).
+    perm_in: Optional[jnp.ndarray] = None
+    perm_out: Optional[jnp.ndarray] = None
+    reorder: str = "none"
+    # per-shard real edge counts / pre-padding sub-block counts of the fwd
+    # (destination-sharded) structure — the load-balance report
+    shard_edges: Tuple[int, ...] = ()
+    shard_nblk: Tuple[int, ...] = ()
 
     @property
     def padded_nodes(self) -> int:
         return self.num_shards * self.rows_per_shard
+
+    @property
+    def node_map(self) -> Optional[jnp.ndarray]:
+        """Original node id → slot ((num_nodes,) int32), None = identity."""
+        return None if self.perm_out is None else self.perm_out[: self.num_nodes]
 
 
 def with_halo(pg: PartitionedGraph, hub_k: Optional[int] = None) -> PartitionedGraph:
@@ -157,7 +207,8 @@ def _shard_blocks(
             "num_edges": int(len(ls)),
         }
         shard_meta.append(_blocks_np(csr, R, B))
-    return stack_padded_blocks(shard_meta, rows_per_shard, R)
+    nblk = tuple(int(m["blk_src"].shape[0]) for m in shard_meta)
+    return stack_padded_blocks(shard_meta, rows_per_shard, R), nblk
 
 
 def stack_padded_blocks(blocks, rows_per_shard: int, R: int):
@@ -228,6 +279,161 @@ def _bwd_gather_fwd_np(fwd, bwd, num_shards, rows_per_shard, R):
     return out.reshape(S, nb, B).astype(np.int32)
 
 
+# ---------------------------------------------------------------------------
+# Node → slot assignment (load balance / locality)
+# ---------------------------------------------------------------------------
+
+
+def _bfs_order(src: np.ndarray, dst: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Level-synchronous BFS order over the undirected edge set, seeded per
+    component at the highest-degree unvisited node.  All-NumPy frontier
+    expansion — feasible at citation2 scale (one-time host cost)."""
+    s2 = np.concatenate([src, dst])
+    d2 = np.concatenate([dst, src])
+    order_e = np.argsort(s2, kind="stable")
+    s2, d2 = s2[order_e], d2[order_e]
+    indptr = np.zeros(num_nodes + 1, np.int64)
+    np.add.at(indptr, s2 + 1, 1)
+    indptr = np.cumsum(indptr)
+    deg = np.diff(indptr)
+
+    visited = np.zeros(num_nodes, bool)
+    order = np.empty(num_nodes, np.int64)
+    pos = 0
+    seeds = np.argsort(-deg, kind="stable")
+    si = 0
+    while pos < num_nodes:
+        while si < num_nodes and visited[seeds[si]]:
+            si += 1
+        frontier = seeds[si : si + 1]
+        visited[frontier] = True
+        while len(frontier):
+            order[pos : pos + len(frontier)] = frontier
+            pos += len(frontier)
+            starts = indptr[frontier]
+            counts = indptr[frontier + 1] - starts
+            total = int(counts.sum())
+            if total == 0:
+                break
+            # flat neighbor gather: repeat(start) + intra-run offsets
+            offs = np.arange(total) - np.repeat(
+                np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+            )
+            nbr = d2[np.repeat(starts, counts) + offs]
+            nbr = np.unique(nbr)
+            nbr = nbr[~visited[nbr]]
+            visited[nbr] = True
+            frontier = nbr
+    return order
+
+
+def _equal_edge_bounds(
+    deg_ordered: np.ndarray, num_shards: int, cap: int
+) -> np.ndarray:
+    """Cut an ordered node list into ``num_shards`` contiguous ranges of
+    ~equal total degree, each at most ``cap`` nodes.  Feasibility-aware
+    forward walk: each cut targets an equal share of the REMAINING edges,
+    clamped so every later shard can still fit its nodes under ``cap``."""
+    n = len(deg_ordered)
+    assert num_shards * cap >= n, "cap too small for the node count"
+    cum = np.concatenate([[0], np.cumsum(deg_ordered, dtype=np.int64)])
+    bounds = np.zeros(num_shards + 1, np.int64)
+    bounds[num_shards] = n
+    for s in range(1, num_shards):
+        prev = bounds[s - 1]
+        remaining = num_shards - s + 1
+        target = cum[prev] + (cum[n] - cum[prev]) / remaining
+        j = int(np.searchsorted(cum, target))
+        lo = max(prev, n - (num_shards - s) * cap)
+        hi = min(prev + cap, n)
+        bounds[s] = min(max(j, lo), hi)
+    return bounds
+
+
+def assign_slots(
+    es: np.ndarray,
+    ed: np.ndarray,
+    num_nodes: int,
+    num_shards: int,
+    R: int,
+    reorder: str,
+    cap_factor: float = 1.5,
+):
+    """Node → slot assignment.  Returns (node_map | None, rows_per_shard,
+    resolved_mode): ``node_map[g] = slot``; None means the identity layout
+    (zero relayout cost).  See the module docstring for mode semantics."""
+    legacy_rps = _pad_to(_pad_to(num_nodes, num_shards) // num_shards, R)
+    if reorder in (None, "none") or num_shards <= 1:
+        return None, legacy_rps, "none"
+    deg = np.bincount(ed, minlength=num_nodes).astype(np.int64)
+
+    if reorder == "auto":
+        # naive-split imbalance: max/mean per-shard edge count
+        shard_of = np.minimum(
+            np.arange(num_nodes) // legacy_rps, num_shards - 1
+        )
+        per = np.bincount(shard_of, weights=deg, minlength=num_shards)
+        imbalance = per.max() / max(per.mean(), 1.0)
+        if imbalance <= 1.25:
+            return None, legacy_rps, "none"
+        # Measured (RESULTS.md round 3): at collab scale on the skewed
+        # generator, serpentine degree balance hits 1.05 max/mean edge
+        # imbalance with ZERO extra row padding, where equal-edge
+        # contiguous ranges stall at 1.7-2.1 (capacity caps bind on the
+        # hub head) while also inflating rows_per_shard 1.5-2x.
+        reorder = "degree"
+
+    if reorder == "degree":
+        # serpentine deal by descending degree: round r hands nodes to
+        # shards 0..S-1 (even r) or S-1..0 (odd r) — equal node counts,
+        # near-LPT edge balance
+        order = np.argsort(-deg, kind="stable")
+        n = num_nodes
+        S = num_shards
+        pos_in_order = np.arange(n)
+        rnd = pos_in_order // S
+        lane = pos_in_order % S
+        shard = np.where(rnd % 2 == 0, lane, S - 1 - lane)
+        rows_per_shard = _pad_to(-(-n // S), R)
+        node_map = np.empty(n, np.int64)
+        # slot offset within shard = running count of earlier deals there
+        offset = np.zeros(n, np.int64)
+        for s in range(S):
+            sel = shard == s
+            offset[sel] = np.arange(int(sel.sum()))
+        node_map[order] = shard * rows_per_shard + offset
+        return node_map.astype(np.int32), rows_per_shard, "degree"
+
+    if reorder == "bfs":
+        order = _bfs_order(es, ed, num_nodes)
+    elif reorder == "edges":
+        order = np.arange(num_nodes, dtype=np.int64)
+    else:
+        raise ValueError(f"unknown reorder mode: {reorder!r}")
+    cap = max(int(cap_factor * -(-num_nodes // num_shards)), 1)
+    bounds = _equal_edge_bounds(deg[order], num_shards, cap)
+    rows_per_shard = _pad_to(max(int(np.diff(bounds).max()), 1), R)
+    node_map = np.empty(num_nodes, np.int64)
+    for s in range(num_shards):
+        lo, hi = bounds[s], bounds[s + 1]
+        node_map[order[lo:hi]] = s * rows_per_shard + np.arange(hi - lo)
+    return node_map.astype(np.int32), rows_per_shard, reorder
+
+
+def _perms_from_node_map(node_map: np.ndarray, padded: int):
+    """(perm_in, perm_out): mutually inverse padded-length permutations.
+    Global positions ≥ num_nodes (the zero-padding rows of x) fill the
+    unoccupied slots, so both directions stay pure gathers."""
+    n = len(node_map)
+    occupied = np.zeros(padded, bool)
+    occupied[node_map] = True
+    free_slots = np.nonzero(~occupied)[0]
+    perm_out = np.concatenate([node_map.astype(np.int64), free_slots])
+    perm_in = np.empty(padded, np.int64)
+    perm_in[perm_out] = np.arange(padded)
+    return perm_in.astype(np.int32), perm_out.astype(np.int32)
+
+
 def partition_graph(
     src,
     dst,
@@ -238,6 +444,8 @@ def partition_graph(
     block: Tuple[int, int] = (128, 512),
     symmetrize: bool = False,
     coalesce: bool = True,
+    reorder: Optional[str] = None,
+    cap_factor: float = 1.5,
 ) -> PartitionedGraph:
     R, B = block
     csr = _csr_np(src, dst, weight, num_nodes, symmetrize, coalesce, 1)
@@ -246,16 +454,29 @@ def partition_graph(
     ed = csr["receivers"][:e].astype(np.int64)
     ew = csr["edge_weight"][:e]
 
-    rows_per_shard = _pad_to(
-        _pad_to(num_nodes, num_shards) // num_shards, R
+    node_map, rows_per_shard, resolved = assign_slots(
+        es, ed, num_nodes, num_shards, R, reorder, cap_factor
     )
-    fwd = _shard_blocks(es, ed, ew, num_shards, rows_per_shard, R, B)
+    if node_map is not None:
+        es = node_map[es].astype(np.int64)
+        ed = node_map[ed].astype(np.int64)
+        perm_in, perm_out = _perms_from_node_map(
+            node_map, num_shards * rows_per_shard
+        )
+    else:
+        perm_in = perm_out = None
+    fwd, fwd_nblk = _shard_blocks(es, ed, ew, num_shards, rows_per_shard, R, B)
     # backward: same edges, grouped by SOURCE shard (dst becomes the "src")
-    bwd = _shard_blocks(ed, es, ew, num_shards, rows_per_shard, R, B)
+    bwd, _ = _shard_blocks(ed, es, ew, num_shards, rows_per_shard, R, B)
     bwd_map = _bwd_gather_fwd_np(fwd, bwd, num_shards, rows_per_shard, R)
 
     deg = np.zeros(num_shards * rows_per_shard, np.int32)
     np.add.at(deg, ed, 1)
+    shard_edges = tuple(
+        int(c) for c in np.bincount(
+            ed // rows_per_shard, minlength=num_shards
+        )
+    )
 
     return PartitionedGraph(
         fwd_blk_src=jnp.asarray(fwd["blk_src"].astype(np.int32)),
@@ -275,4 +496,9 @@ def partition_graph(
         rows_per_shard=rows_per_shard,
         block_rows=R,
         block_edges=B,
+        perm_in=None if perm_in is None else jnp.asarray(perm_in),
+        perm_out=None if perm_out is None else jnp.asarray(perm_out),
+        reorder=resolved,
+        shard_edges=shard_edges,
+        shard_nblk=fwd_nblk,
     )

@@ -133,6 +133,22 @@ def test_fuzz_train_parity_across_backends(seed):
     gs, gst = prepare_graph(
         src, dst, weights, num_nodes=n, symmetrize=False, block=None
     )
+    # Fourth backend: the multi-chip partitioned path on the 8-CPU mesh.
+    # One (shards × comm × reorder) variant per seed keeps the matrix
+    # bounded while the 16 seeds jointly sweep 2/8 shards, halo/all_gather,
+    # and every node→slot assignment mode through the same randomized
+    # encoder×predictor×loss×optimizer surface.
+    from plnlp_tpu.parallel import make_mesh
+    from plnlp_tpu.parallel.graph_parallel import make_graph_parallel
+
+    p_shards = 2 if seed % 2 else 8
+    p_comm = "halo" if seed % 4 < 2 else "all_gather"
+    p_reorder = ["none", "degree", "edges", "bfs"][seed % 4]
+    gp = make_graph_parallel(
+        src, dst, weights, num_nodes=n,
+        mesh=make_mesh(data=1, node=p_shards), block=(8, 16),
+        comm=p_comm, reorder=p_reorder,
+    )
 
     # identical batch stream for every backend
     use_margin = cfg.loss_func in (
@@ -158,6 +174,7 @@ def test_fuzz_train_parity_across_backends(seed):
         "dense": (dense, None),
         "blocked": (gb, gbt),
         "segment": (gs, gst),
+        "partitioned": (gp, None),
     }
 
     # Tight check: gradients at identical initial params.  (Final params
@@ -176,7 +193,7 @@ def test_fuzz_train_parity_across_backends(seed):
     for name, (g, gt) in backends.items():
         params = model.init_params(jax.random.PRNGKey(7))
         grads[name] = jax.grad(loss_of)(params, g, gt)
-    for name in ("dense", "blocked"):
+    for name in ("dense", "blocked", "partitioned"):
         for (path, ga), gb_leaf in zip(
             jax.tree_util.tree_flatten_with_path(grads[name])[0],
             jax.tree_util.tree_leaves(grads["segment"]),
@@ -196,7 +213,7 @@ def test_fuzz_train_parity_across_backends(seed):
         )
     ref_losses, _ = results["segment"]
     assert all(np.isfinite(ref_losses)), (cfg, ref_losses)
-    for name in ("dense", "blocked"):
+    for name in ("dense", "blocked", "partitioned"):
         losses, _ = results[name]
         np.testing.assert_allclose(
             losses, ref_losses, rtol=2e-3, atol=1e-4,

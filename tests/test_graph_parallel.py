@@ -354,8 +354,9 @@ def test_partitioned_transformer_bwd_has_no_edge_feature_scatter(setup):
 
 
 def test_comm_auto_selection(rng):
-    """comm='auto' picks halo when the plan's volume beats the all-gather
-    (ring locality) and all_gather when boundaries touch everything."""
+    """comm='auto' (cost model: q + qh + latency_rows < rows_per_shard)
+    picks halo on ring locality, all_gather on dense boundaries, and
+    all_gather whenever the per-message latency term dominates."""
     import numpy as np
 
     from plnlp_tpu.parallel import make_mesh
@@ -368,7 +369,7 @@ def test_comm_auto_selection(rng):
     ring_dst = (ring_src + 1) % n
     gp_ring = make_graph_parallel(
         ring_src, ring_dst, None, num_nodes=n, mesh=mesh, block=(8, 32),
-        symmetrize=True, comm="auto",
+        symmetrize=True, comm="auto", latency_rows=0,
     )
     assert gp_ring.comm == "halo"
     assert gp_ring.pg.fwd_halo is not None
@@ -378,8 +379,23 @@ def test_comm_auto_selection(rng):
     gp_dense = make_graph_parallel(
         rng.integers(0, n, e), rng.integers(0, n, e), None, num_nodes=n,
         mesh=mesh, block=(8, 32), symmetrize=True, comm="auto",
+        latency_rows=0,
     )
     assert gp_dense.comm == "all_gather"
+
+    # latency branch: halo's extra collective costs more than it saves
+    # when the wire constant rivals rows_per_shard (16 here)
+    gp_lat = make_graph_parallel(
+        ring_src, ring_dst, None, num_nodes=n, mesh=mesh, block=(8, 32),
+        symmetrize=True, comm="auto", latency_rows=16,
+    )
+    assert gp_lat.comm == "all_gather"
+    # the DEFAULT wire constant (512 rows) also rejects halo at toy scale
+    gp_def = make_graph_parallel(
+        ring_src, ring_dst, None, num_nodes=n, mesh=mesh, block=(8, 32),
+        symmetrize=True, comm="auto",
+    )
+    assert gp_def.comm == "all_gather"
 
 
 def test_estimate_halo_quotas_matches_built_plan(rng):
@@ -403,3 +419,204 @@ def test_estimate_halo_quotas_matches_built_plan(rng):
     pgh = with_halo(pg)
     assert max(qf, qb) == pgh.halo_quota
     assert max(qhf, qhb) == pgh.halo_hubs
+
+
+# ---------------------------------------------------------------------------
+# Node→slot reordering (edge balance / locality) — round-3 scope
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("reorder", ["edges", "degree", "bfs"])
+@pytest.mark.parametrize("shards", [2, 8])
+def test_reordered_spmm_matches_single(setup, reorder, shards):
+    """Every reorder mode is value-neutral: fwd and grad match the
+    single-device SpMM exactly (the perms are pure relayout)."""
+    n, d, src, dst, w, g, x = setup
+    pg = partition_graph(
+        src, dst, w, num_nodes=n, num_shards=shards, block=(8, 128),
+        reorder=reorder,
+    )
+    assert pg.perm_in is not None and pg.reorder == reorder
+    mesh = make_mesh(data=1, node=shards)
+    gp = GraphParallel(pg=pg, mesh=mesh)
+    xs = shard_node_features(x, pg, mesh)
+    for reduce in ("sum", "mean"):
+        out = partitioned_spmm(gp, xs, reduce)[:n]
+        expect = spmm_segment(g, x, reduce)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expect), rtol=1e-4, atol=1e-5
+        )
+    cot = jnp.asarray(
+        np.random.default_rng(3).standard_normal((n, d)), jnp.float32
+    )
+    gx = jax.grad(lambda x: jnp.vdot(partitioned_spmm(gp, x, "sum"), cot))(xs)
+    gx_ref = jax.grad(lambda x: jnp.vdot(spmm_segment(g, x, "sum"), cot))(x)
+    np.testing.assert_allclose(
+        np.asarray(gx)[:n], np.asarray(gx_ref), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(gx)[n:], 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("reorder", ["edges", "bfs"])
+def test_reordered_halo_matches_single(setup, reorder):
+    """Reordering composes with the halo exchange (plans are built in slot
+    space)."""
+    from plnlp_tpu.parallel.partition import with_halo
+
+    n, d, src, dst, w, g, x = setup
+    pg = with_halo(partition_graph(
+        src, dst, w, num_nodes=n, num_shards=4, block=(8, 128),
+        reorder=reorder,
+    ))
+    mesh = make_mesh(data=1, node=4)
+    gp = GraphParallel(pg=pg, mesh=mesh, comm="halo")
+    xs = shard_node_features(x, pg, mesh)
+    out = partitioned_spmm(gp, xs, "sum")[:n]
+    expect = spmm_segment(g, x, "sum")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expect), rtol=1e-4, atol=1e-5
+    )
+    gx = jax.grad(lambda x: jnp.sum(partitioned_spmm(gp, x, "sum") ** 2))(xs)
+    gx_ref = jax.grad(lambda x: jnp.sum(spmm_segment(g, x, "sum") ** 2))(x)
+    np.testing.assert_allclose(
+        np.asarray(gx)[:n], np.asarray(gx_ref), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_reordered_transformer_matches_single(setup):
+    """The partitioned TransformerConv hand-VJP composes with reordering
+    (slot relayout wraps the custom VJP as gathers)."""
+    from plnlp_tpu.models.encoders import apply_encoder, init_encoder
+    from plnlp_tpu.parallel.graph_parallel import make_graph_parallel
+
+    n, d, src, dst, w, _, x = setup
+    g = build_graph(src, dst, None, num_nodes=n)
+    params = init_encoder(jax.random.PRNGKey(0), "TRANSFORMER", d, 16, 2)
+    mesh = make_mesh(data=1, node=4)
+    e = g.num_edges
+    gp = make_graph_parallel(
+        np.asarray(g.senders)[:e], np.asarray(g.receivers)[:e], None,
+        num_nodes=n, mesh=mesh, block=(8, 128), reorder="degree",
+    )
+    assert gp.pg.perm_in is not None
+    ref = apply_encoder(params, "TRANSFORMER", g, x)
+    out = apply_encoder(params, "TRANSFORMER", gp, x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+    gp_ref, gx_ref = jax.grad(
+        lambda p, x: jnp.sum(apply_encoder(p, "TRANSFORMER", g, x) ** 2),
+        argnums=(0, 1),
+    )(params, x)
+    gp_got, gx_got = jax.grad(
+        lambda p, x: jnp.sum(apply_encoder(p, "TRANSFORMER", gp, x) ** 2),
+        argnums=(0, 1),
+    )(params, x)
+    np.testing.assert_allclose(
+        np.asarray(gx_got), np.asarray(gx_ref), rtol=1e-3, atol=1e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gp_ref), jax.tree_util.tree_leaves(gp_got)
+    ):
+        scale = float(np.abs(np.asarray(a)).max())
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3,
+            atol=max(1e-4 * scale, 1e-6),
+        )
+
+
+def test_reorder_balances_skewed_graph(rng):
+    """On the skewed generator (hubs at LOW ids — worst case for contiguous
+    ranges): 'degree' lands per-shard edge counts within 10% of the mean at
+    ZERO extra row padding; 'edges'/'bfs' at least halve the naive split's
+    hub-bound imbalance (capacity caps bound what contiguous ranges can do
+    on this hub-head id order — measured, RESULTS.md round 3)."""
+    from plnlp_tpu.data.synthetic import make_skewed_graph
+
+    src, dst = make_skewed_graph(rng, 2000, 30000)
+    S = 4
+    stats, rps = {}, {}
+    for mode in ("none", "edges", "degree", "bfs"):
+        pg = partition_graph(
+            src, dst, None, num_nodes=2000, num_shards=S, block=(8, 128),
+            symmetrize=True, reorder=mode,
+        )
+        edges = np.asarray(pg.shard_edges, np.float64)
+        assert len(edges) == S and len(pg.shard_nblk) == S
+        stats[mode] = edges.max() / edges.mean()
+        rps[mode] = pg.rows_per_shard
+    assert stats["none"] > 1.5, f"skewed generator not skewed? {stats}"
+    assert stats["degree"] <= 1.10, f"degree: {stats}"
+    assert rps["degree"] == rps["none"]  # no padding cost
+    for mode in ("edges", "bfs"):
+        assert stats[mode] <= 0.65 * stats["none"], f"{mode}: {stats}"
+
+
+def test_assign_slots_auto_mode(rng):
+    """'auto' keeps the zero-cost identity layout on balanced graphs and
+    switches to equal-edge ranges on skewed ones."""
+    from plnlp_tpu.data.synthetic import make_skewed_graph
+    from plnlp_tpu.parallel.partition import assign_slots
+
+    # balanced: uniform random graph
+    src, dst, _ = random_graph_np(rng, 512, 8192)
+    deg_dst = np.sort(dst.astype(np.int64))
+    nm, rps, mode = assign_slots(
+        src.astype(np.int64), deg_dst, 512, 4, 8, "auto"
+    )
+    assert nm is None and mode == "none"
+
+    # skewed: hubs concentrate edges in shard 0
+    s2, d2 = make_skewed_graph(rng, 512, 8192, alpha=1.0)
+    nm, rps, mode = assign_slots(
+        s2.astype(np.int64), np.sort(d2.astype(np.int64)), 512, 4, 8, "auto"
+    )
+    assert nm is not None and mode == "degree"
+    # node_map is a valid injection into slot space
+    assert len(np.unique(nm)) == 512 and nm.max() < 4 * rps
+
+
+def test_reorder_full_train_step_parity(setup, rng):
+    """Whole-model train step over a REORDERED GraphParallel == the
+    single-device step (the strongest end-to-end relayout check)."""
+    from plnlp_tpu.parallel.graph_parallel import make_graph_parallel
+    from plnlp_tpu.training import Model, ModelConfig
+
+    n, d, src, dst, w, g, x = setup
+    cfg = ModelConfig(
+        emb_hidden_channels=d, gnn_hidden_channels=d, mlp_hidden_channels=d,
+        batch_size=64, dropout=0.0,
+    )
+    model = Model(cfg, num_nodes=n)
+    params = model.init_params(jax.random.PRNGKey(0))
+    pos = jnp.asarray(np.stack([src[:64], dst[:64]], 1).astype(np.int32))
+    neg = jnp.asarray(
+        np.random.default_rng(1).integers(0, n, (64, 1, 2)).astype(np.int32)
+    )
+    margin = jnp.zeros((64,), jnp.float32)
+    mask = jnp.ones((64,), jnp.float32)
+    lr = jnp.asarray(1e-2, jnp.float32)
+    copy = lambda t: jax.tree_util.tree_map(lambda a: a.copy(), t)
+
+    p1, _, l1 = model._train_step(
+        copy(params), model.init_opt_state(params), g, None, None,
+        pos, neg, margin, mask, lr, jax.random.PRNGKey(2), False,
+    )
+    mesh = make_mesh(data=1, node=8)
+    e = g.num_edges
+    gp = make_graph_parallel(
+        np.asarray(g.senders)[:e], np.asarray(g.receivers)[:e],
+        np.asarray(g.edge_weight)[:e], num_nodes=n, mesh=mesh,
+        block=(8, 128), reorder="degree",
+    )
+    p2, _, l2 = model._train_step(
+        copy(params), model.init_opt_state(params), gp, None, None,
+        pos, neg, margin, mask, lr, jax.random.PRNGKey(2), False,
+    )
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5
+        )
