@@ -59,6 +59,7 @@ _EDGE_PAD = 512
         "blk_local",
         "blk_rowblock",
         "edge_mask",
+        "tconv_map",
     ],
     meta_fields=[
         "num_nodes",
@@ -98,6 +99,13 @@ class Graph:
     # only; see sampling.edges_exist). [N * ceil(N/8)] uint8.
     edge_mask: Optional[jnp.ndarray] = None
     max_degree: int = 0  # bounds the CSR binary search on big graphs
+    # On a graph whose TRANSPOSE is also blocked (prepare_graph with
+    # couple_transpose=True): for each of the transposed structure's block
+    # slots, the flat index of the SAME edge in THIS graph's (nblk*B,)
+    # block slots.  Lets the TransformerConv hand-VJP re-lay per-edge
+    # runtime scalars (attention weights, softmax-Jacobian terms) from fwd
+    # to bwd layout with one gather (ops/transformer.py).  [nblk_t, B] i32.
+    tconv_map: Optional[jnp.ndarray] = None
 
     @property
     def num_edges_padded(self) -> int:
@@ -457,6 +465,40 @@ def _blocks_np(csr, block_rows: int, block_edges: int):
     })
 
 
+def _tconv_map_np(blocks, blocks_t, R: int, R_t: int) -> np.ndarray:
+    """Flat fwd-slot index of each transposed-structure slot's edge.
+
+    Both blocked structures hold exactly the real edge set once; matching
+    the two key-sorted slot lists element-wise pairs every transposed slot
+    with the fwd slot of the same (src, dst) edge (stable even with
+    duplicate edges: identical key multisets pair k-th with k-th).  Host
+    NumPy, same construction as parallel.partition._bwd_gather_fwd_np for
+    the S=1 case.  Padding slots point at 0, masked by blk_weight == 0.
+    """
+    STRIDE = np.int64(1) << 31
+    bs, bw = blocks["blk_src"], blocks["blk_weight"]
+    brb, bl = blocks["blk_rowblock"], blocks["blk_local"]
+    f_dst = brb[:, None].astype(np.int64) * R + bl
+    keys_f = (f_dst * STRIDE + bs).reshape(-1)
+    valid_f = bw.reshape(-1) != 0
+    kf = keys_f[valid_f]
+    ff = np.arange(keys_f.size, dtype=np.int64)[valid_f]
+
+    ts, tw = blocks_t["blk_src"], blocks_t["blk_weight"]
+    trb, tl = blocks_t["blk_rowblock"], blocks_t["blk_local"]
+    t_rows = trb[:, None].astype(np.int64) * R_t + tl
+    keys_t = (ts.astype(np.int64) * STRIDE + t_rows).reshape(-1)
+    valid_t = tw.reshape(-1) != 0
+    kt = keys_t[valid_t]
+    assert kf.shape == kt.shape, "graph/transpose edge counts diverged"
+
+    out = np.zeros(keys_t.size, np.int64)
+    out[np.nonzero(valid_t)[0][np.argsort(kt, kind="stable")]] = ff[
+        np.argsort(kf, kind="stable")
+    ]
+    return out.reshape(ts.shape).astype(np.int32)
+
+
 def _to_graph(csr, blocks=None) -> Graph:
     """Single host→device push of all arrays (no readbacks ever)."""
     mask = _edge_mask_np(csr)
@@ -513,9 +555,16 @@ def prepare_graph(
     coalesce: bool = True,
     block: Optional[Tuple[int, int]] = (512, 512),
     edge_pad_multiple: int = _EDGE_PAD,
+    couple_transpose: bool = False,
 ) -> Tuple[Graph, Graph]:
     """One-shot production path: (graph, transposed graph), both blocked,
-    computed entirely on the host and pushed to device once each."""
+    computed entirely on the host and pushed to device once each.
+
+    ``couple_transpose=True`` additionally attaches ``graph.tconv_map`` —
+    the fwd↔transpose slot pairing the blocked TransformerConv hand-VJP
+    needs (ops/transformer.py).  Opt-in: it costs two host sorts of the
+    edge list, pointless for encoders that never re-lay per-edge scalars.
+    """
     csr = _csr_np(src, dst, weight, num_nodes, symmetrize, coalesce, edge_pad_multiple)
     e = csr["num_edges"]
     csr_t = _csr_np(
@@ -528,8 +577,13 @@ def prepare_graph(
         edge_pad_multiple,
     )
     if block is not None:
-        g = _to_graph(csr, _blocks_np(csr, *block))
-        gt = _to_graph(csr_t, _blocks_np(csr_t, *block))
+        blocks = _blocks_np(csr, *block)
+        blocks_t = _blocks_np(csr_t, *block)
+        g = _to_graph(csr, blocks)
+        gt = _to_graph(csr_t, blocks_t)
+        if couple_transpose:
+            tmap = _tconv_map_np(blocks, blocks_t, block[0], block[0])
+            g = dataclasses.replace(g, tconv_map=jnp.asarray(tmap))
     else:
         g, gt = _to_graph(csr), _to_graph(csr_t)
     return g, gt
