@@ -96,8 +96,17 @@ def argument(argv=None):
         "--adj_backend",
         type=str,
         default="auto",
-        choices=["auto", "dense", "csr"],
-        help="dense adjacency (MXU path, small graphs) vs blocked CSR",
+        choices=["auto", "dense", "csr", "hybrid"],
+        help="dense adjacency (MXU path, small graphs), blocked CSR, or "
+        "hybrid dense-tile+CSR (label-prop reordered community tiles on "
+        "the MXU, gather residual; 1.5x over blocked CSR on "
+        "community-structured graphs — RESULTS.md round 3; SAGE/GCN/WSAGE "
+        "encoders only)",
+    )
+    parser.add_argument(
+        "--tile_min_fill", type=int, default=384,
+        help="hybrid backend: minimum edges per 512x512 tile to run it "
+        "dense on the MXU; below that the edge stays on the gather path",
     )
     parser.add_argument("--dense_threshold", type=int, default=20000)
     parser.add_argument(
@@ -425,6 +434,32 @@ def prepare_experiment(args, log=print, serving=False):
             surg["adj_src"], surg["adj_dst"], surg["adj_weight"], num_nodes=num_nodes
         )
         graph_t = None
+    elif args.adj_backend == "hybrid":
+        if args.encoder.upper() == "TRANSFORMER":
+            raise SystemExit(
+                "--adj_backend=hybrid supports SAGE/GCN/WSAGE (the "
+                "TransformerConv needs per-edge CSR structure); use "
+                "--adj_backend=csr"
+            )
+        from plnlp_tpu.ops.tile_spmm import build_hybrid
+
+        graph = build_hybrid(
+            surg["adj_src"],
+            surg["adj_dst"],
+            surg["adj_weight"],
+            num_nodes=num_nodes,
+            tile=512,
+            min_fill=getattr(args, "tile_min_fill", 384),
+            block=(args.block_rows, args.block_edges),
+            dtype=getattr(args, "compute_dtype", "float32"),
+            reorder="labelprop",
+        )
+        graph_t = None
+        log(
+            f"hybrid backend: {graph.num_tiles} dense tiles "
+            f"({graph.dense_edges}/{graph.dense_edges + graph.res_edges} "
+            f"edges, {graph.num_tiles * graph.tile**2 * (2 if getattr(args, 'compute_dtype', 'float32') == 'bfloat16' else 4) >> 20} MB)"
+        )
     else:
         graph, graph_t = prepare_graph(
             surg["adj_src"],
@@ -436,7 +471,7 @@ def prepare_experiment(args, log=print, serving=False):
             # slot coupling (ops/transformer.py)
             couple_transpose=args.encoder.upper() == "TRANSFORMER",
         )
-    if (num_shards > 1 or use_dense) and not serving:
+    if (num_shards > 1 or use_dense or args.adj_backend == "hybrid") and not serving:
         # Replicated CSR twin for negative-sampler exclusion + random walks
         # (host-built once; cheap relative to the main structure).
         sample_graph, _ = prepare_graph(

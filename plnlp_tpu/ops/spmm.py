@@ -338,6 +338,10 @@ def spmm(
 
     if isinstance(graph, GraphParallel):
         return partitioned_spmm(graph, x, reduce)
+    from plnlp_tpu.ops.tile_spmm import HybridGraph, hybrid_spmm
+
+    if isinstance(graph, HybridGraph):
+        return hybrid_spmm(graph, x, reduce)
     if graph.blk_src is not None and graph_t is not None:
         return spmm_blocked(graph, graph_t, x, reduce)
     return spmm_segment(graph, x, reduce)

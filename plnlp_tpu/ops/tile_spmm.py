@@ -1,0 +1,384 @@
+"""Hybrid dense-tile + blocked-CSR SpMM (the tile-density experiment).
+
+The blocked SpMM's wall is the XLA row gather: row-RATE bound at ~60-125M
+rows/s regardless of width (RESULTS.md "gather wall"), so every edge pays
+one gathered row.  This module attacks the wall by NOT gathering: after a
+locality reordering (community/BFS — parallel.partition.assign_slots or a
+caller-provided order), community-structured graphs concentrate edges into
+dense diagonal tiles.  A T×T tile with k edges can instead be computed as
+
+    out[rt*T:(rt+1)*T] += A_tile @ x[ct*T:(ct+1)*T]
+
+which reads the x tile as ONE contiguous block (the gather unit becomes a
+whole (T, D) tile — the row-rate wall amortized T×) and runs the T×T×D
+matmul on the MXU.  Byte cost per tile ≈ T²·s(A) + T·D·s(x); at T=512,
+D=256, f32 that is ~1.5 MB ≈ 2 µs of HBM time — cheaper than gathering k
+rows once k ≳ 150-250.  Tiles with fill below ``min_fill`` stay on the
+blocked gather path (the residual).
+
+Forward/backward both run tile+residual; dX = Aᵀ dY uses the transposed
+tile set (per-tile transpose + coordinate swap) and the residual's
+transposed blocked structure — a custom VJP, no autodiff through either.
+
+A/B harness: bench_tiles.py; verdict recorded in RESULTS.md (round 3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from plnlp_tpu.graph import Graph, _blocks_np, _csr_np, _pad_to
+from plnlp_tpu.ops.spmm import _zero_cotangent, blocked_sum_arrays
+
+__all__ = [
+    "HybridGraph",
+    "build_hybrid",
+    "hybrid_spmm",
+    "tile_stats",
+    "label_prop_order",
+]
+
+
+def label_prop_order(src, dst, num_nodes: int, rounds: int = 5) -> np.ndarray:
+    """Community-recovery node order via label propagation (host NumPy).
+
+    Each round every node adopts its most frequent neighbor label (ties →
+    smallest label, which also damps oscillation); the returned order sorts
+    nodes by final label, so same-community nodes become contiguous ids —
+    the locality the dense-tile path needs.  O(E log E) per round.
+    """
+    s2 = np.concatenate([src, dst]).astype(np.int64)
+    d2 = np.concatenate([dst, src]).astype(np.int64)
+    labels = np.arange(num_nodes, dtype=np.int64)
+    for _ in range(rounds):
+        lab_s = labels[s2]
+        order = np.lexsort((lab_s, d2))
+        dd, ll = d2[order], lab_s[order]
+        change = (dd[1:] != dd[:-1]) | (ll[1:] != ll[:-1])
+        starts = np.concatenate([[0], np.nonzero(change)[0] + 1])
+        run_dst, run_lab = dd[starts], ll[starts]
+        run_cnt = np.diff(np.concatenate([starts, [len(dd)]]))
+        # per-dst argmax run: lexsort by (dst, count, -label) then take the
+        # last run of each dst (largest count; smallest label wins ties)
+        o2 = np.lexsort((-run_lab, run_cnt, run_dst))
+        rd, rl = run_dst[o2], run_lab[o2]
+        last = np.nonzero(np.concatenate([rd[1:] != rd[:-1], [True]]))[0]
+        new = labels.copy()
+        new[rd[last]] = rl[last]
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return np.argsort(labels, kind="stable")
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "tile_vals",
+        "tile_row",
+        "tile_col",
+        "tile_vals_t",
+        "tile_row_t",
+        "tile_col_t",
+        "res_graph",
+        "res_graph_t",
+        "perm_in",
+        "perm_out",
+    ],
+    meta_fields=[
+        "num_nodes", "tile", "num_tiles", "dense_edges", "res_edges",
+        "reorder",
+    ],
+)
+@dataclasses.dataclass(frozen=True)
+class HybridGraph:
+    """Dense tiles (both directions) + blocked residual graphs.
+
+    ``tile_vals``: (nt, T, T), A[rt*T+i, ct*T+j] per tile — row =
+    destination.  Tiles sorted by ``tile_row`` so the output scatter is a
+    sorted segment sum.  ``*_t`` fields are the transposed set (backward).
+
+    ``perm_in``/``perm_out`` (optional, (num_nodes,) int32): an internal
+    locality relabeling (label-prop order) applied as pure gathers at the
+    custom-VJP boundary — callers keep ORIGINAL node ids everywhere.
+    perm_in[slot] = original id; perm_out[original id] = slot.
+    """
+
+    tile_vals: jnp.ndarray
+    tile_row: jnp.ndarray  # (nt,) int32, sorted
+    tile_col: jnp.ndarray  # (nt,) int32
+    tile_vals_t: jnp.ndarray
+    tile_row_t: jnp.ndarray
+    tile_col_t: jnp.ndarray
+    res_graph: Optional[Graph]
+    res_graph_t: Optional[Graph]
+    num_nodes: int
+    tile: int
+    num_tiles: int
+    dense_edges: int
+    res_edges: int
+    perm_in: Optional[jnp.ndarray] = None
+    perm_out: Optional[jnp.ndarray] = None
+    reorder: str = "none"
+
+
+def tile_stats(src, dst, num_nodes: int, tile: int = 512):
+    """Histogram of edges per (row_tile, col_tile) — fill diagnostics."""
+    rt = np.asarray(dst, np.int64) // tile
+    ct = np.asarray(src, np.int64) // tile
+    nC = _pad_to(num_nodes, tile) // tile
+    key = rt * nC + ct
+    uniq, counts = np.unique(key, return_counts=True)
+    return counts
+
+
+def _build_tiles(src, dst, w, num_nodes, tile, min_fill, max_tiles=None):
+    """Split edges into dense-tile set and residual; build (vals, row, col)
+    sorted by row tile.  Host-side NumPy.  ``max_tiles`` keeps only the
+    densest tiles when more qualify (ties broken arbitrarily)."""
+    T = tile
+    nC = _pad_to(num_nodes, T) // T
+    rt = dst // T
+    ct = src // T
+    key = rt * nC + ct
+    uniq, counts = np.unique(key, return_counts=True)
+    qual = counts >= min_fill
+    if max_tiles is not None and int(qual.sum()) > max_tiles:
+        top = np.argsort(-counts, kind="stable")[:max_tiles]
+        qual = np.zeros(len(uniq), bool)
+        qual[top] = True
+    dense_sel_keys = uniq[qual]
+    is_dense_key = np.zeros(nC * nC, bool)
+    is_dense_key[dense_sel_keys] = True
+    dense_mask = is_dense_key[key]
+
+    d_src, d_dst, d_w = src[dense_mask], dst[dense_mask], w[dense_mask]
+    r_src, r_dst, r_w = src[~dense_mask], dst[~dense_mask], w[~dense_mask]
+
+    # tiles sorted by (row, col) — row-major, so tile_row is sorted
+    tile_keys = np.sort(dense_sel_keys)
+    nt = len(tile_keys)
+    tile_row = (tile_keys // nC).astype(np.int32)
+    tile_col = (tile_keys % nC).astype(np.int32)
+    vals = np.zeros((max(nt, 1), T, T), np.float32)
+    if nt:
+        slot = np.searchsorted(tile_keys, key[dense_mask])
+        np.add.at(vals, (slot, d_dst % T, d_src % T), d_w)
+    return vals, tile_row, tile_col, (r_src, r_dst, r_w), int(len(d_src))
+
+
+def build_hybrid(
+    src,
+    dst,
+    weight=None,
+    *,
+    num_nodes: int,
+    tile: int = 512,
+    min_fill: int = 192,
+    block: Tuple[int, int] = (512, 512),
+    symmetrize: bool = False,
+    coalesce: bool = True,
+    max_tile_bytes: int = 2 * 1024**3,
+    dtype="float32",
+    reorder: Optional[str] = None,
+) -> HybridGraph:
+    """Build the hybrid operand.  ``min_fill``: minimum edges per T×T tile
+    to run it dense; below that the edge stays on the blocked gather path.
+    NOTE: callers should apply a locality reorder (BFS/community/label-prop)
+    to the node ids FIRST — at random id order almost no tile clears
+    min_fill and this degenerates to the plain blocked SpMM plus overhead.
+
+    ``max_tile_bytes`` bounds the dense-tile storage (BOTH directions are
+    kept, so the budget is per direction): when the qualifying tile set
+    exceeds it, min_fill is raised to the largest-count tiles that fit —
+    a safety valve, since tile memory is E_dense/fill × 4 bytes and
+    low-fill regimes explode it (measured: 50-community SBM at collab
+    scale = 0.22% fill = 12.7 GB — unshippable; RESULTS.md round 3)."""
+    csr = _csr_np(src, dst, weight, num_nodes, symmetrize, coalesce, 1)
+    e = csr["num_edges"]
+    es = csr["senders"][:e].astype(np.int64)
+    ed = csr["receivers"][:e].astype(np.int64)
+    ew = csr["edge_weight"][:e].astype(np.float32)
+
+    perm_in = perm_out = None
+    resolved = "none"
+    if reorder in ("labelprop", "cluster"):
+        order = label_prop_order(es, ed, num_nodes)  # order[slot] = old id
+        node_map = np.empty(num_nodes, np.int64)
+        node_map[order] = np.arange(num_nodes)
+        es, ed = node_map[es], node_map[ed]
+        perm_in = order.astype(np.int32)
+        perm_out = node_map.astype(np.int32)
+        resolved = "labelprop"
+    elif reorder not in (None, "none"):
+        raise ValueError(f"unknown reorder mode: {reorder!r}")
+
+    max_tiles = max(int(max_tile_bytes // (tile * tile * 4)), 1)
+    vals, trow, tcol, (r_src, r_dst, r_w), n_dense = _build_tiles(
+        es, ed, ew, num_nodes, tile, min_fill, max_tiles=max_tiles
+    )
+    # transposed tile set: swap coords, transpose each tile, re-sort by row
+    vals_t = vals.transpose(0, 2, 1)
+    order_t = np.lexsort((trow, tcol))
+    tvals_t = np.ascontiguousarray(vals_t[order_t])
+    trow_t = tcol[order_t]
+    tcol_t = trow[order_t]
+
+    if len(r_src):
+        res_csr = _csr_np(r_src, r_dst, r_w, num_nodes, False, False, 1)
+        res_csr_t = _csr_np(r_dst, r_src, r_w, num_nodes, False, False, 1)
+        from plnlp_tpu.graph import _to_graph
+
+        res_g = _to_graph(res_csr, _blocks_np(res_csr, *block))
+        res_gt = _to_graph(res_csr_t, _blocks_np(res_csr_t, *block))
+    else:
+        res_g = res_gt = None
+
+    # tiles stored in the COMPUTE dtype (bf16 halves bytes AND skips a
+    # full-array cast per pass); edge weights are exact small values on
+    # the benchmark graphs, and the matmul accumulates in f32 regardless
+    dt = jnp.dtype(dtype)
+    return HybridGraph(
+        tile_vals=jnp.asarray(vals, dt),
+        tile_row=jnp.asarray(trow),
+        tile_col=jnp.asarray(tcol),
+        tile_vals_t=jnp.asarray(tvals_t, dt),
+        tile_row_t=jnp.asarray(trow_t),
+        tile_col_t=jnp.asarray(tcol_t),
+        res_graph=res_g,
+        res_graph_t=res_gt,
+        num_nodes=num_nodes,
+        tile=tile,
+        num_tiles=int(len(trow)),
+        dense_edges=n_dense,
+        res_edges=int(len(r_src)),
+        perm_in=None if perm_in is None else jnp.asarray(perm_in),
+        perm_out=None if perm_out is None else jnp.asarray(perm_out),
+        reorder=resolved,
+    )
+
+
+# Tiles processed per fori_loop chunk: bounds the gathered x-tile
+# intermediate to chunk*T*D*4 bytes (128 * 512 * 256 * 4 = 64 MB at D=256).
+_TILE_CHUNK = 128
+
+
+def _tile_pass(vals, trow, tcol, x, num_nodes, T):
+    """out[trow] += vals @ x_tiles[tcol], chunked; returns (rows_pad, D)."""
+    nt = vals.shape[0]
+    d = x.shape[-1]
+    n_pad = _pad_to(num_nodes, T)
+    nR = n_pad // T
+    xp = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+    x_tiles = xp.reshape(nR, T, d)
+
+    if nt <= _TILE_CHUNK:
+        xt = x_tiles[tcol]  # (nt, T, D) — ONE contiguous-tile gather
+        part = jnp.einsum(
+            "nuv,nvd->nud", vals.astype(x.dtype), xt,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        out = jax.ops.segment_sum(
+            part, trow, num_segments=nR, indices_are_sorted=True
+        )
+        return out.reshape(n_pad, d)
+
+    nchunks = -(-nt // _TILE_CHUNK)
+    pad = nchunks * _TILE_CHUNK - nt
+    # padding tiles: zero values -> harmless adds into row tile 0
+    vals_p = jnp.pad(vals, ((0, pad), (0, 0), (0, 0)))
+    trow_p = jnp.pad(trow, (0, pad))
+    tcol_p = jnp.pad(tcol, (0, pad))
+
+    def body(i, acc):
+        v = jax.lax.dynamic_slice_in_dim(vals_p, i * _TILE_CHUNK, _TILE_CHUNK)
+        r = jax.lax.dynamic_slice_in_dim(trow_p, i * _TILE_CHUNK, _TILE_CHUNK)
+        c = jax.lax.dynamic_slice_in_dim(tcol_p, i * _TILE_CHUNK, _TILE_CHUNK)
+        xt = x_tiles[c]
+        part = jnp.einsum(
+            "nuv,nvd->nud", v.astype(x.dtype), xt,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        return acc.at[r].add(part)
+
+    out = jax.lax.fori_loop(
+        0, nchunks, body, jnp.zeros((nR, T, d), x.dtype)
+    )
+    return out.reshape(n_pad, d)
+
+
+def _hybrid_dir(hg: HybridGraph, x, direction: str):
+    n = hg.num_nodes
+    if direction == "fwd":
+        vals, trow, tcol, res = hg.tile_vals, hg.tile_row, hg.tile_col, (
+            hg.res_graph, hg.res_graph_t
+        )
+    else:
+        vals, trow, tcol, res = hg.tile_vals_t, hg.tile_row_t, hg.tile_col_t, (
+            hg.res_graph_t, hg.res_graph
+        )
+    out = _tile_pass(vals, trow, tcol, x, n, hg.tile)[:n]
+    g = res[0]
+    if g is not None:
+        out = out + blocked_sum_arrays(
+            x, g.blk_src, g.blk_weight, g.blk_local, g.blk_rowblock,
+            g.block_rows, _pad_to(n, g.block_rows),
+        )[:n]
+    return out
+
+
+# The internal relabeling (perm_in/perm_out) is applied HERE, inside the
+# custom VJP, as pure gathers: with permutation P (x_slots = P x) the
+# slot-space operator A_s computes y = Pᵀ A_s P x, so dX = Pᵀ A_sᵀ P dY —
+# the same in/out sandwich both directions, never a scatter.
+
+
+@jax.custom_vjp
+def _hybrid_core(hg: HybridGraph, x):
+    if hg.perm_in is not None:
+        x = x[hg.perm_in]
+    y = _hybrid_dir(hg, x, "fwd")
+    return y if hg.perm_out is None else y[hg.perm_out]
+
+
+def _hybrid_fwd(hg, x):
+    return _hybrid_core(hg, x), hg
+
+
+def _hybrid_bwd(hg, g):
+    if hg.perm_in is not None:
+        g = g[hg.perm_in]
+    dx = _hybrid_dir(hg, g, "bwd")
+    if hg.perm_out is not None:
+        dx = dx[hg.perm_out]
+    return (jax.tree_util.tree_map(_zero_cotangent, hg), dx)
+
+
+_hybrid_core.defvjp(_hybrid_fwd, _hybrid_bwd)
+
+
+def hybrid_spmm(hg: HybridGraph, x: jnp.ndarray, reduce: str = "sum"):
+    """Sum/mean aggregation over the hybrid operand; x is (num_nodes, D)."""
+    out = _hybrid_core(hg, x[: hg.num_nodes])
+    if reduce == "mean":
+        # in-degrees = tile column sums + residual degrees (slot space,
+        # then mapped back to original ids like the output itself)
+        deg_t = jnp.zeros(_pad_to(hg.num_nodes, hg.tile), jnp.float32)
+        counts = jnp.sum((hg.tile_vals != 0), axis=2).astype(jnp.float32)
+        deg_t = deg_t.reshape(-1, hg.tile).at[hg.tile_row].add(counts).reshape(-1)
+        deg = deg_t[: hg.num_nodes]
+        if hg.res_graph is not None:
+            deg = deg + hg.res_graph.in_degrees.astype(jnp.float32)
+        if hg.perm_out is not None:
+            deg = deg[hg.perm_out]
+        scale = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)
+        out = out * scale[:, None].astype(out.dtype)
+    elif reduce != "sum":
+        raise ValueError(f"unknown reduce: {reduce}")
+    return out

@@ -1,0 +1,210 @@
+"""Hybrid dense-tile + residual SpMM (ops/tile_spmm.py): value and gradient
+parity vs the segment-sum oracle across fill regimes and tile sizes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plnlp_tpu.graph import build_graph
+from plnlp_tpu.ops.spmm import spmm_segment
+from plnlp_tpu.ops.tile_spmm import build_hybrid, hybrid_spmm
+from tests.conftest import random_graph_np
+
+
+@pytest.mark.parametrize("min_fill", [1, 4, 10**9])
+@pytest.mark.parametrize("reduce", ["sum", "mean"])
+def test_hybrid_matches_segment(rng, min_fill, reduce):
+    """min_fill=1: everything dense-tiled; huge min_fill: everything on the
+    residual blocked path; min_fill=4: a genuine mix."""
+    n, d = 100, 16
+    src, dst, w = random_graph_np(rng, n, 600, weighted=True)
+    g = build_graph(src, dst, w, num_nodes=n)
+    hg = build_hybrid(
+        src, dst, w, num_nodes=n, tile=16, min_fill=min_fill, block=(8, 32)
+    )
+    if min_fill == 1:
+        assert hg.res_edges == 0
+    if min_fill == 10**9:
+        assert hg.dense_edges == 0
+    assert hg.dense_edges + hg.res_edges == g.num_edges
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    out = hybrid_spmm(hg, x, reduce)
+    expect = spmm_segment(g, x, reduce)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expect), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_hybrid_gradient_matches_segment(rng):
+    n, d = 90, 8
+    src, dst, w = random_graph_np(rng, n, 700, weighted=True)
+    g = build_graph(src, dst, w, num_nodes=n)
+    hg = build_hybrid(
+        src, dst, w, num_nodes=n, tile=16, min_fill=4, block=(8, 32)
+    )
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    gx = jax.grad(lambda x: jnp.vdot(hybrid_spmm(hg, x, "sum"), cot))(x)
+    gx_ref = jax.grad(lambda x: jnp.vdot(spmm_segment(g, x, "sum"), cot))(x)
+    np.testing.assert_allclose(
+        np.asarray(gx), np.asarray(gx_ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_hybrid_chunked_tile_loop(rng):
+    """More tiles than _TILE_CHUNK exercises the fori_loop accumulation."""
+    import plnlp_tpu.ops.tile_spmm as ts
+
+    n, d = 64, 8
+    src, dst, w = random_graph_np(rng, n, 800, weighted=True)
+    g = build_graph(src, dst, w, num_nodes=n)
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    hg = build_hybrid(src, dst, w, num_nodes=n, tile=8, min_fill=1, block=(8, 16))
+    assert hg.num_tiles > 4
+    orig = ts._TILE_CHUNK
+    try:
+        ts._TILE_CHUNK = 4
+        out = hybrid_spmm(hg, x, "sum")
+    finally:
+        ts._TILE_CHUNK = orig
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(spmm_segment(g, x, "sum")),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_hybrid_jits_and_trains(rng):
+    n, d = 80, 8
+    src, dst, w = random_graph_np(rng, n, 500, weighted=True)
+    g = build_graph(src, dst, w, num_nodes=n)
+    hg = build_hybrid(src, dst, w, num_nodes=n, tile=16, min_fill=3, block=(8, 16))
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    f = jax.jit(jax.value_and_grad(lambda x: jnp.sum(hybrid_spmm(hg, x) ** 2)))
+    v, gx = f(x)
+    v_ref = float(jnp.sum(spmm_segment(g, x, "sum") ** 2))
+    np.testing.assert_allclose(float(v), v_ref, rtol=1e-4)
+    assert np.all(np.isfinite(np.asarray(gx)))
+
+
+def test_hybrid_labelprop_reorder_matches_segment(rng):
+    """Internal label-prop relabeling is value-neutral (perm sandwich is
+    pure relayout): fwd, mean reduce, and gradient all match the oracle
+    in ORIGINAL node ids."""
+    n, d = 120, 8
+    src, dst, w = random_graph_np(rng, n, 900, weighted=True)
+    g = build_graph(src, dst, w, num_nodes=n)
+    hg = build_hybrid(
+        src, dst, w, num_nodes=n, tile=16, min_fill=3, block=(8, 32),
+        reorder="labelprop",
+    )
+    assert hg.perm_in is not None and hg.reorder == "labelprop"
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    for reduce in ("sum", "mean"):
+        out = hybrid_spmm(hg, x, reduce)
+        expect = spmm_segment(g, x, reduce)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expect), rtol=1e-4, atol=1e-5,
+            err_msg=reduce,
+        )
+    cot = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    gx = jax.grad(lambda x: jnp.vdot(hybrid_spmm(hg, x, "sum"), cot))(x)
+    gx_ref = jax.grad(lambda x: jnp.vdot(spmm_segment(g, x, "sum"), cot))(x)
+    np.testing.assert_allclose(
+        np.asarray(gx), np.asarray(gx_ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_hybrid_full_train_step_parity(rng):
+    """Whole-model train step over the hybrid operand == blocked-CSR path."""
+    from plnlp_tpu.graph import prepare_graph
+    from plnlp_tpu.training import Model, ModelConfig
+
+    n, d = 100, 16
+    src, dst, w = random_graph_np(rng, n, 700, weighted=True)
+    g, gt = prepare_graph(src, dst, w, num_nodes=n, block=(8, 32))
+    hg = build_hybrid(
+        src, dst, w, num_nodes=n, tile=16, min_fill=4, block=(8, 32),
+        reorder="labelprop",
+    )
+    cfg = ModelConfig(
+        emb_hidden_channels=d, gnn_hidden_channels=d, mlp_hidden_channels=d,
+        batch_size=64, dropout=0.0,
+    )
+    model = Model(cfg, num_nodes=n)
+    params = model.init_params(jax.random.PRNGKey(0))
+    pos = jnp.asarray(rng.integers(0, n, (64, 2)).astype(np.int32))
+    neg = jnp.asarray(rng.integers(0, n, (64, 1, 2)).astype(np.int32))
+    margin = jnp.zeros((64,), jnp.float32)
+    mask = jnp.ones((64,), jnp.float32)
+    lr = jnp.asarray(1e-2, jnp.float32)
+    copy = lambda t: jax.tree_util.tree_map(lambda a: a.copy(), t)
+
+    p1, _, l1 = model._train_step(
+        copy(params), model.init_opt_state(params), g, gt, None,
+        pos, neg, margin, mask, lr, jax.random.PRNGKey(2), False,
+    )
+    p2, _, l2 = model._train_step(
+        copy(params), model.init_opt_state(params), hg, None, None,
+        pos, neg, margin, mask, lr, jax.random.PRNGKey(2), False,
+    )
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5
+        )
+
+
+def test_hybrid_tile_budget_guard():
+    """max_tile_bytes raises min_fill instead of materializing an
+    infeasible tile set (the 12.7GB lesson, RESULTS.md round 3)."""
+    rng = np.random.default_rng(5)
+    n = 256
+    src = rng.integers(0, n, 4000)
+    dst = rng.integers(0, n, 4000)
+    hg = build_hybrid(
+        src, dst, None, num_nodes=n, tile=16, min_fill=1, block=(8, 32),
+        max_tile_bytes=8 * 16 * 16 * 4,  # room for 8 tiles only
+    )
+    assert hg.num_tiles <= 8
+    # still exact
+    import jax.numpy as jnp
+
+    from plnlp_tpu.graph import build_graph
+
+    g = build_graph(src, dst, None, num_nodes=n)
+    x = jnp.asarray(rng.standard_normal((n, 8)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(hybrid_spmm(hg, x, "sum")),
+        np.asarray(spmm_segment(g, x, "sum")),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_cli_hybrid_backend_smoke():
+    from plnlp_tpu.cli import argument, run_experiment
+
+    argv = [
+        "--data_name=synthetic:hits-sbm:num_nodes=600,num_edges=6000",
+        "--epochs=2", "--eval_steps=1", "--runs=1", "--batch_size=256",
+        "--emb_hidden_channels=16", "--gnn_hidden_channels=16",
+        "--mlp_hidden_channels=16", "--adj_backend=hybrid",
+        "--tile_min_fill=4", "--block_rows=8", "--block_edges=32",
+    ]
+    loggers = run_experiment(argument(argv), log=lambda *_: None)
+    assert loggers["Hits@20"].results[0]
+
+
+def test_cli_hybrid_rejects_transformer():
+    import pytest as _pytest
+
+    from plnlp_tpu.cli import argument, run_experiment
+
+    argv = [
+        "--data_name=synthetic:hits", "--epochs=1", "--runs=1",
+        "--adj_backend=hybrid", "--encoder=TRANSFORMER",
+    ]
+    with _pytest.raises(SystemExit, match="hybrid"):
+        run_experiment(argument(argv), log=lambda *_: None)
