@@ -569,6 +569,19 @@ def _run_experiment(args, log, guard):
         if args.eval_metric
         else exp["dataset"].get("eval_metric", "hits")
     )
+    ds_metric = exp["dataset"].get("eval_metric")
+    if ds_metric and eval_metric != ds_metric:
+        # --eval_metric defaults to 'hits' (reference flag parity,
+        # main.py:24), so an mrr-layout dataset silently evaluates as hits
+        # unless the flag is passed — make that loud.
+        import warnings
+
+        warnings.warn(
+            f"dataset stores eval_metric={ds_metric!r} but this run uses "
+            f"{eval_metric!r}; pass --eval_metric {ds_metric} if that is "
+            f"unintended (the flag default is 'hits' for reference parity)",
+            stacklevel=2,
+        )
 
     log_file = None
     if args.res_dir:

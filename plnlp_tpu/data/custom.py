@@ -28,6 +28,11 @@ File layout (all arrays NumPy, nothing torch-pickled — unlike OGB's
 * ``eval_metric`` (str), ``directed`` (bool) — optional metadata;
   ``directed=True`` symmetrizes the adjacency in dataset surgery
   exactly like citation2 (reference main.py:109-110).
+
+NOTE: the CLI's ``--eval_metric`` flag defaults to ``'hits'`` (reference
+flag parity), so an ``mrr`` dataset must still be run with
+``--eval_metric mrr`` — the stored metadata does not override an
+explicit-or-default flag value; the CLI warns loudly on a mismatch.
 """
 
 from __future__ import annotations

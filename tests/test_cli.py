@@ -765,3 +765,24 @@ def test_mesh_data_indivisible_batch_warns():
                 _args(mesh_data=2, batch_size=333, epochs=1),
                 log=lambda *_: None,
             )
+
+
+def test_eval_metric_mismatch_warns():
+    """An mrr-layout dataset run without --eval_metric mrr evaluates as
+    hits (reference flag-default parity) — but now warns loudly."""
+    import warnings
+
+    args = _args(data_name="synthetic:mrr", neg_sampler="local", epochs=1)
+    with pytest.warns(UserWarning, match="eval_metric"):
+        loggers = run_experiment(args, log=lambda *_: None)
+    assert "Hits@20" in loggers  # flag default wins, as documented
+
+    # with the flag passed, no metric warning
+    args2 = _args(
+        data_name="synthetic:mrr", neg_sampler="local", epochs=1,
+        eval_metric="mrr",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        loggers2 = run_experiment(args2, log=lambda *_: None)
+    assert "MRR" in loggers2
