@@ -21,6 +21,8 @@ __all__ = [
     "build_indptr",
     "densify",
     "blocks_build",
+    "label_prop",
+    "bfs_order",
     "available",
 ]
 
@@ -91,6 +93,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _I64, _I64, ctypes.c_void_p, _I32, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, _I32, _F32, _I32, _I32,
         ]
+        lib.label_prop.restype = ctypes.c_int64
+        lib.label_prop.argtypes = [
+            _I32, _I32, ctypes.c_int64, ctypes.c_int64, _I64,
+        ]
+        lib.bfs_order.restype = None
+        lib.bfs_order.argtypes = [_I32, _I32, ctypes.c_int64, _I64, _I64]
         _lib = lib
         return _lib
 
@@ -172,6 +180,38 @@ def blocks_build(
         "block_rows": R,
         "block_edges": B,
     }
+
+
+def label_prop(
+    indptr: np.ndarray, indices: np.ndarray, num_nodes: int, rounds: int
+) -> np.ndarray:
+    """Label propagation over an undirected CSR; returns final labels.
+    Semantics identical to the NumPy sweep in ops/tile_spmm.py (mode of
+    neighbor labels, ties -> smallest; synchronous updates; early stop)."""
+    lib = get_lib()
+    assert lib is not None
+    indptr = np.ascontiguousarray(indptr, np.int32)
+    indices = np.ascontiguousarray(indices, np.int32)
+    labels = np.arange(num_nodes, dtype=np.int64)
+    lib.label_prop(indptr, indices, num_nodes, rounds, labels)
+    return labels
+
+
+def bfs_order(
+    indptr: np.ndarray, indices: np.ndarray, num_nodes: int,
+    seeds: np.ndarray,
+) -> np.ndarray:
+    """Level-synchronous BFS order over an undirected CSR (sorted-unique
+    frontier per level, per-component seeds in priority order) — native
+    counterpart of parallel.partition._bfs_order's expansion."""
+    lib = get_lib()
+    assert lib is not None
+    indptr = np.ascontiguousarray(indptr, np.int32)
+    indices = np.ascontiguousarray(indices, np.int32)
+    seeds = np.ascontiguousarray(seeds, np.int64)
+    order = np.empty(num_nodes, np.int64)
+    lib.bfs_order(indptr, indices, num_nodes, seeds, order)
+    return order
 
 
 def densify(

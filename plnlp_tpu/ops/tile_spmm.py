@@ -46,13 +46,26 @@ __all__ = [
 
 
 def label_prop_order(src, dst, num_nodes: int, rounds: int = 5) -> np.ndarray:
-    """Community-recovery node order via label propagation (host NumPy).
+    """Community-recovery node order via label propagation (host-side).
 
     Each round every node adopts its most frequent neighbor label (ties →
     smallest label, which also damps oscillation); the returned order sorts
     nodes by final label, so same-community nodes become contiguous ids —
-    the locality the dense-tile path needs.  O(E log E) per round.
+    the locality the dense-tile path needs.  Native C++ when available
+    (csrc/graphcore.cpp label_prop — the NumPy sweep costs 10-20 s at
+    collab scale); identical labels either way (tests/test_native.py).
     """
+    from plnlp_tpu import native
+
+    if native.available():
+        from plnlp_tpu.parallel.partition import _undirected_csr_np
+
+        indptr, indices = _undirected_csr_np(
+            np.asarray(src, np.int64), np.asarray(dst, np.int64), num_nodes
+        )
+        labels = native.label_prop(indptr, indices, num_nodes, rounds)
+        return np.argsort(labels, kind="stable")
+
     s2 = np.concatenate([src, dst]).astype(np.int64)
     d2 = np.concatenate([dst, src]).astype(np.int64)
     labels = np.arange(num_nodes, dtype=np.int64)

@@ -284,23 +284,34 @@ def _bwd_gather_fwd_np(fwd, bwd, num_shards, rows_per_shard, R):
 # ---------------------------------------------------------------------------
 
 
-def _bfs_order(src: np.ndarray, dst: np.ndarray, num_nodes: int) -> np.ndarray:
-    """Level-synchronous BFS order over the undirected edge set, seeded per
-    component at the highest-degree unvisited node.  All-NumPy frontier
-    expansion — feasible at citation2 scale (one-time host cost)."""
+def _undirected_csr_np(src, dst, num_nodes: int):
+    """(indptr, indices) over the undirected edge set (host-side)."""
     s2 = np.concatenate([src, dst])
     d2 = np.concatenate([dst, src])
     order_e = np.argsort(s2, kind="stable")
     s2, d2 = s2[order_e], d2[order_e]
     indptr = np.zeros(num_nodes + 1, np.int64)
     np.add.at(indptr, s2 + 1, 1)
-    indptr = np.cumsum(indptr)
+    return np.cumsum(indptr), d2
+
+
+def _bfs_order(src: np.ndarray, dst: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Level-synchronous BFS order over the undirected edge set, seeded per
+    component at the highest-degree unvisited node.  Native C++ when
+    available (csrc/graphcore.cpp bfs_order); NumPy frontier expansion
+    otherwise — both produce the identical order (tests/test_native.py)."""
+    indptr, d2 = _undirected_csr_np(src, dst, num_nodes)
     deg = np.diff(indptr)
+    seeds = np.argsort(-deg, kind="stable")
+
+    from plnlp_tpu import native
+
+    if native.available():
+        return native.bfs_order(indptr, d2, num_nodes, seeds)
 
     visited = np.zeros(num_nodes, bool)
     order = np.empty(num_nodes, np.int64)
     pos = 0
-    seeds = np.argsort(-deg, kind="stable")
     si = 0
     while pos < num_nodes:
         while si < num_nodes and visited[seeds[si]]:

@@ -316,6 +316,54 @@ def test_train_step_parity_vs_torch(rng, encoder):
         )
 
 
+def test_blocked_transformer_hand_vjp_vs_torch(rng):
+    """The round-3 blocked TransformerConv hand-VJP (ops/transformer.py),
+    oracle-grounded DIRECTLY: gradients against the torch f64 TransformerConv
+    transcription, not just against the segment path."""
+    from plnlp_tpu.graph import prepare_graph
+
+    n, d, num_neg, b = 40, 16, 2, 64
+    src, dst, _ = random_graph_np(rng, n, 250)
+    gb, gbt = prepare_graph(
+        src, dst, None, num_nodes=n, block=(8, 16), couple_transpose=True
+    )
+    adj = _dense_adj(gb, n)
+
+    cfg = ModelConfig(
+        encoder="TRANSFORMER",
+        emb_hidden_channels=d,
+        gnn_hidden_channels=d,
+        mlp_hidden_channels=d,
+        batch_size=b,
+        num_neg=num_neg,
+        dropout=0.0,
+        grad_clip_norm=-1.0,
+    )
+    model = Model(cfg, num_nodes=n)
+    params = model.init_params(jax.random.PRNGKey(0))
+    oracle = TorchOracle(params, adj, "TRANSFORMER")
+
+    pos = rng.integers(0, n, (b, 2)).astype(np.int32)
+    neg = rng.integers(0, n, (b, num_neg, 2)).astype(np.int32)
+    mask = jnp.ones((b,), jnp.float32)
+
+    def jax_loss(p):
+        return model._loss_impl(
+            p, gb, gbt, None, jnp.asarray(pos), jnp.asarray(neg),
+            None, mask, jax.random.PRNGKey(99),
+        )
+
+    jloss, jgrads = jax.value_and_grad(jax_loss)(params)
+    tloss = oracle.loss(
+        torch.tensor(pos.astype(np.int64)),
+        torch.tensor(neg.astype(np.int64)),
+        num_neg,
+    )
+    tloss.backward()
+    np.testing.assert_allclose(float(jloss), float(tloss), rtol=1e-4)
+    _assert_grad_parity(jgrads, oracle)
+
+
 @pytest.mark.parametrize(
     "predictor", ["DOT", "BIL", "MLPCAT", "MLPDOT", "MLPBIL"]
 )

@@ -115,3 +115,59 @@ def test_blocks_build_matches_numpy(rng):
             native._lib, native._tried = lib, True
         for k in ("blk_src", "blk_weight", "blk_local", "blk_rowblock"):
             np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+def test_label_prop_matches_numpy(rng):
+    """Native label_prop == the NumPy sweep in ops/tile_spmm.py (mode of
+    neighbor labels, smallest-label ties, synchronous rounds)."""
+    import plnlp_tpu.native as native
+    from plnlp_tpu.ops.tile_spmm import label_prop_order
+    from plnlp_tpu.parallel.partition import _undirected_csr_np
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no native lib")
+    for seed in range(4):
+        r = np.random.default_rng(100 + seed)
+        n = int(r.integers(20, 200))
+        e = int(r.integers(n, 6 * n))
+        src = r.integers(0, n, e).astype(np.int64)
+        dst = r.integers(0, n, e).astype(np.int64)
+        # NumPy path, forced (monkeypatch-free: call the module internals)
+        import plnlp_tpu.ops.tile_spmm as ts
+
+        orig = native.available
+        try:
+            native.available = lambda: False
+            order_np = ts.label_prop_order(src, dst, n)
+        finally:
+            native.available = orig
+        order_nat = ts.label_prop_order(src, dst, n)
+        np.testing.assert_array_equal(order_nat, order_np, err_msg=f"seed {seed}")
+
+
+def test_bfs_order_matches_numpy(rng):
+    import plnlp_tpu.native as native
+    import plnlp_tpu.parallel.partition as pt
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no native lib")
+    for seed in range(4):
+        r = np.random.default_rng(200 + seed)
+        n = int(r.integers(20, 200))
+        e = int(r.integers(n // 2, 5 * n))  # allow disconnected components
+        src = r.integers(0, n, e).astype(np.int64)
+        dst = r.integers(0, n, e).astype(np.int64)
+        orig = native.available
+        try:
+            native.available = lambda: False
+            order_np = pt._bfs_order(src, dst, n)
+        finally:
+            native.available = orig
+        order_nat = pt._bfs_order(src, dst, n)
+        np.testing.assert_array_equal(order_nat, order_np, err_msg=f"seed {seed}")
+        # a valid permutation either way
+        assert len(np.unique(order_nat)) == n
