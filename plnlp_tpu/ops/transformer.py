@@ -128,13 +128,18 @@ def _bwd_impl(graph: Graph, graph_t: Graph, lp, x, alpha, g):
         None, bs, dlogit * inv_sqrt_d, bl, brb, R, rows, feats=kv_e[:, :d]
     )[:n].astype(cdt)
 
-    # per-edge scalars to the transposed layout: one precomputed slot map
+    # per-edge scalars to the transposed layout: one precomputed slot map.
+    # dlogit and alpha share the map — ONE 2-wide gather instead of two
+    # (the row gather is row-RATE bound: two scalar gathers over ~E slots
+    # cost the same as two full feature gathers)
     nbs, nbw = graph_t.blk_src, graph_t.blk_weight
     nbl, nbrb = graph_t.blk_local, graph_t.blk_rowblock
     nmap = graph.tconv_map
     nvalid = (nbw != 0).astype(f32)
-    dlog_t = dlogit.reshape(-1)[nmap.reshape(-1)].reshape(nbw.shape) * nvalid
-    alpha_t = alpha.reshape(-1)[nmap.reshape(-1)].reshape(nbw.shape) * nvalid
+    da = jnp.stack([dlogit.reshape(-1), alpha.reshape(-1)], axis=-1)
+    da_t = da[nmap.reshape(-1)].reshape(nbw.shape + (2,))
+    dlog_t = da_t[..., 0] * nvalid
+    alpha_t = da_t[..., 1] * nvalid
 
     # dk / dv over the transposed (src-grouped) structure — q and dout
     # share the transposed sender indices, so one widened gather serves both

@@ -469,14 +469,18 @@ def _ptc_bwd_impl(pg: PartitionedGraph, lp, x, alpha, g, mesh):
             feats=kv_e[:, :d],
         ).astype(cdt)
 
-        # per-edge scalars to bwd layout: one scalar all_gather + slot map
+        # per-edge scalars to bwd layout: one scalar all_gather + slot map.
+        # dlogit and alpha share the map — ONE 2-wide gather instead of two
+        # (row-rate-bound gather; see ops/transformer.py)
         dlog_full = jax.lax.all_gather(
             dlogit[None], "node", axis=0, tiled=True
         ).reshape(-1)
         nbs0, nbw0, nbl0, nbrb0, nmap0 = nbs[0], nbw[0], nbl[0], nbrb[0], nmap[0]
         nvalid = (nbw0 != 0).astype(jnp.float32)
-        dlog_bwd = dlog_full[nmap0] * nvalid
-        alpha_bwd = a_flat[nmap0] * nvalid
+        da = jnp.stack([dlog_full, a_flat], axis=-1)
+        da_bwd = da[nmap0.reshape(-1)].reshape(nmap0.shape + (2,))
+        dlog_bwd = da_bwd[..., 0] * nvalid
+        alpha_bwd = da_bwd[..., 1] * nvalid
 
         # dk / dv over the bwd (src-sharded) structure — q and dout share
         # the bwd indices, so again one widened gather serves both
