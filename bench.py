@@ -222,6 +222,7 @@ def main():
         loggers = run_experiment(argument(q_argv), log=lambda *_: None)
     traj = np.asarray(loggers["Hits@50"].results[0], np.float64)
     q_val = float(100 * traj[traj[:, 0].argmax(), 1])  # test at argmax valid
+    q_pass = bool(q_val >= QUALITY_GATE_HITS50)
     print(
         json.dumps(
             {
@@ -229,11 +230,22 @@ def main():
                 "value": round(q_val, 2),
                 "unit": f"Hits@50 %, test at argmax-valid (fixed-seed SBM, "
                 f"15 epochs, SAGE+MLP+AUC; PASS threshold "
-                f"{QUALITY_GATE_HITS50}; {'PASS' if q_val >= QUALITY_GATE_HITS50 else 'FAIL'})",
+                f"{QUALITY_GATE_HITS50}; {'PASS' if q_pass else 'FAIL'})",
+                # machine-readable gate: vs_baseline < 1.0 == FAIL, plus an
+                # explicit boolean so automation needn't parse the unit text
+                "pass": q_pass,
                 "vs_baseline": round(q_val / QUALITY_GATE_HITS50, 3),
             }
         )
     )
+    if not q_pass:
+        import sys
+
+        print(
+            f"QUALITY GATE FAILED: sbm Hits@50 {q_val:.2f} < "
+            f"{QUALITY_GATE_HITS50} — training quality regressed",
+            file=sys.stderr,
+        )
 
     # ---- headline metric: full ddi-size train step (dense backend) ----
     n, e, dim, batch, num_neg = 4267, 1_067_000, 512, 64 * 1024, 3

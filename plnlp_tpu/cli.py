@@ -394,6 +394,14 @@ def prepare_experiment(args, log=print, serving=False):
         log(f"autotuned block = ({args.block_rows}, {args.block_edges})")
     elif args.block_rows == 0:
         args.block_rows = 512
+    if num_shards > 1 and args.adj_backend == "hybrid":
+        # never silently discard an explicit backend choice (the elif
+        # chain below would route to the partitioned blocked-CSR path)
+        raise SystemExit(
+            "--adj_backend=hybrid is single-device (the dense-tile sets "
+            "are not partitioned yet — TODO_ROUND4.md); drop --num_shards "
+            "or use --adj_backend=csr"
+        )
     mesh_data = getattr(args, "mesh_data", 1) or 1
     if num_shards > 1 or mesh_data > 1:
         from plnlp_tpu.parallel import make_mesh

@@ -175,11 +175,19 @@ def _load_split_file(path: str):
     (arbitrary code execution on untrusted files)."""
     try:
         return _load_pt_without_torch(path)
+    except FileNotFoundError:
+        raise  # not a parse problem — don't hide it behind torch fallbacks
     except Exception as e:
         torch_free_err = e
     import warnings
 
-    import torch
+    try:
+        import torch
+    except ImportError as ie:
+        raise RuntimeError(
+            f"{path}: the torch-free reader failed ({torch_free_err!r}) and "
+            f"torch is not importable for the fallback"
+        ) from ie
 
     try:
         return _to_numpy(torch.load(path, map_location="cpu", weights_only=True))

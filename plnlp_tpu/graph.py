@@ -565,6 +565,11 @@ def prepare_graph(
     needs (ops/transformer.py).  Opt-in: it costs two host sorts of the
     edge list, pointless for encoders that never re-lay per-edge scalars.
     """
+    if couple_transpose and block is None:
+        raise ValueError(
+            "couple_transpose=True needs blocked metadata (block=(R, B)) — "
+            "the tconv slot map pairs BLOCK slots between the two graphs"
+        )
     csr = _csr_np(src, dst, weight, num_nodes, symmetrize, coalesce, edge_pad_multiple)
     e = csr["num_edges"]
     csr_t = _csr_np(

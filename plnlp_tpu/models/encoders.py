@@ -129,6 +129,22 @@ def _transformer_conv(lp, graph, graph_t, x):
         # Destination-sharded edges make every softmax segment shard-local.
         return partitioned_transformer_conv(graph, lp, x)
 
+    if (
+        not isinstance(graph, DenseAdj)
+        and graph.blk_src is not None
+        and graph.tconv_map is not None
+        and graph_t is not None
+        and graph_t.blk_src is not None
+    ):
+        # Blocked path with the hand-written VJP (ops/transformer.py): no
+        # feature-dim scatter in the backward.  Needs the fwd↔transpose
+        # slot coupling from prepare_graph(couple_transpose=True).
+        # Dispatched BEFORE computing q/k/v — the blocked impl derives
+        # them internally.
+        from plnlp_tpu.ops.transformer import transformer_conv_blocked
+
+        return transformer_conv_blocked(lp, graph, graph_t, x)
+
     d = lp["lin_query"]["w"].shape[1]
     q = linear(lp["lin_query"], x)
     k = linear(lp["lin_key"], x)
@@ -153,18 +169,6 @@ def _transformer_conv(lp, graph, graph_t, x):
             (ex / denom).astype(x.dtype), v, preferred_element_type=x.dtype
         )
         return agg + linear(lp["lin_skip"], x)
-    if (
-        graph.blk_src is not None
-        and graph.tconv_map is not None
-        and graph_t is not None
-        and graph_t.blk_src is not None
-    ):
-        # Blocked path with the hand-written VJP (ops/transformer.py): no
-        # feature-dim scatter in the backward.  Needs the fwd↔transpose
-        # slot coupling from prepare_graph(couple_transpose=True).
-        from plnlp_tpu.ops.transformer import transformer_conv_blocked
-
-        return transformer_conv_blocked(lp, graph, graph_t, x)
     # k and v are gathered at the SAME indices — fuse into one wide gather:
     # the XLA row gather is row-RATE bound (~60M rows/s on v5e, measured
     # flat from D=64 to D=512), so one 2D-wide gather costs half of two.

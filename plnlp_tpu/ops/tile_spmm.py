@@ -103,6 +103,7 @@ def label_prop_order(src, dst, num_nodes: int, rounds: int = 5) -> np.ndarray:
         "res_graph_t",
         "perm_in",
         "perm_out",
+        "in_degrees",
     ],
     meta_fields=[
         "num_nodes", "tile", "num_tiles", "dense_edges", "res_edges",
@@ -138,6 +139,10 @@ class HybridGraph:
     res_edges: int
     perm_in: Optional[jnp.ndarray] = None
     perm_out: Optional[jnp.ndarray] = None
+    # (num_nodes,) f32 unweighted in-degrees in ORIGINAL id space,
+    # precomputed at build time — recomputing from tile_vals would re-read
+    # the whole (up to 2 GiB) tile store every mean-reduce call.
+    in_degrees: Optional[jnp.ndarray] = None
     reorder: str = "none"
 
 
@@ -219,6 +224,9 @@ def build_hybrid(
     ed = csr["receivers"][:e].astype(np.int64)
     ew = csr["edge_weight"][:e].astype(np.float32)
 
+    # unweighted in-degrees in ORIGINAL id space (before any relabel)
+    in_deg = np.bincount(ed, minlength=num_nodes).astype(np.float32)
+
     perm_in = perm_out = None
     resolved = "none"
     if reorder in ("labelprop", "cluster"):
@@ -273,6 +281,7 @@ def build_hybrid(
         res_edges=int(len(r_src)),
         perm_in=None if perm_in is None else jnp.asarray(perm_in),
         perm_out=None if perm_out is None else jnp.asarray(perm_out),
+        in_degrees=jnp.asarray(in_deg),
         reorder=resolved,
     )
 
@@ -380,16 +389,7 @@ def hybrid_spmm(hg: HybridGraph, x: jnp.ndarray, reduce: str = "sum"):
     """Sum/mean aggregation over the hybrid operand; x is (num_nodes, D)."""
     out = _hybrid_core(hg, x[: hg.num_nodes])
     if reduce == "mean":
-        # in-degrees = tile column sums + residual degrees (slot space,
-        # then mapped back to original ids like the output itself)
-        deg_t = jnp.zeros(_pad_to(hg.num_nodes, hg.tile), jnp.float32)
-        counts = jnp.sum((hg.tile_vals != 0), axis=2).astype(jnp.float32)
-        deg_t = deg_t.reshape(-1, hg.tile).at[hg.tile_row].add(counts).reshape(-1)
-        deg = deg_t[: hg.num_nodes]
-        if hg.res_graph is not None:
-            deg = deg + hg.res_graph.in_degrees.astype(jnp.float32)
-        if hg.perm_out is not None:
-            deg = deg[hg.perm_out]
+        deg = hg.in_degrees  # precomputed, original id space
         scale = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)
         out = out * scale[:, None].astype(out.dtype)
     elif reduce != "sum":

@@ -29,7 +29,8 @@ node→slot assignment instead:
   then equal-edge contiguous ranges over it: edge balance AND a small edge
   cut on community-structured graphs.
 * ``'auto'``   — measures the naive split's edge imbalance and picks
-  ``'edges'`` when max/mean > 1.25, else the zero-cost identity layout.
+  ``'degree'`` when max/mean > 1.25 (measured best: 1.05× balance at zero
+  padding cost — see assign_slots), else the zero-cost identity layout.
 
 A non-identity assignment is carried as two padded-length permutations
 (``perm_in``: slot → global position, ``perm_out``: global position → slot)

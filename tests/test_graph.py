@@ -169,3 +169,15 @@ def test_prepare_graph_matches_separate_path(rng):
         np.testing.assert_allclose(np.asarray(a.blk_weight), np.asarray(b.blk_weight))
         np.testing.assert_array_equal(np.asarray(a.blk_local), np.asarray(b.blk_local))
         np.testing.assert_array_equal(np.asarray(a.blk_rowblock), np.asarray(b.blk_rowblock))
+
+
+def test_couple_transpose_requires_blocks():
+    import pytest as _pytest
+
+    from plnlp_tpu.graph import prepare_graph
+
+    with _pytest.raises(ValueError, match="couple_transpose"):
+        prepare_graph(
+            np.array([0, 1]), np.array([1, 2]), None, num_nodes=3,
+            block=None, couple_transpose=True,
+        )

@@ -121,3 +121,10 @@ def test_unsafe_fallback_warns(tmp_path):
     with pytest.warns(UserWarning, match="weights_only=False"):
         out = _load_split_file(str(path))
     assert out["o"] == _CustomPayload()
+
+
+def test_missing_file_raises_file_not_found(tmp_path):
+    """A missing split file surfaces as FileNotFoundError, never as a
+    torch-fallback parse warning."""
+    with pytest.raises(FileNotFoundError):
+        _load_split_file(str(tmp_path / "nope.pt"))

@@ -208,3 +208,33 @@ def test_cli_hybrid_rejects_transformer():
     ]
     with _pytest.raises(SystemExit, match="hybrid"):
         run_experiment(argument(argv), log=lambda *_: None)
+
+
+def test_cli_hybrid_rejects_num_shards():
+    import pytest as _pytest
+
+    from plnlp_tpu.cli import argument, run_experiment
+
+    argv = [
+        "--data_name=synthetic:hits", "--epochs=1", "--runs=1",
+        "--adj_backend=hybrid", "--num_shards=2",
+    ]
+    with _pytest.raises(SystemExit, match="single-device"):
+        run_experiment(argument(argv), log=lambda *_: None)
+
+
+def test_hybrid_mean_uses_precomputed_degrees(rng):
+    """in_degrees is stored at build time (original id space) — the mean
+    path must not re-derive it from the tile store per call."""
+    src, dst, w = random_graph_np(rng, 60, 400, weighted=True)
+    hg = build_hybrid(
+        src, dst, w, num_nodes=60, tile=16, min_fill=3, block=(8, 16),
+        reorder="labelprop",
+    )
+    assert hg.in_degrees is not None and hg.in_degrees.shape == (60,)
+    from plnlp_tpu.graph import build_graph
+
+    g = build_graph(src, dst, w, num_nodes=60)
+    np.testing.assert_array_equal(
+        np.asarray(hg.in_degrees), np.asarray(g.in_degrees)
+    )
