@@ -59,9 +59,13 @@ class Logger:
     def print_statistics(
         self,
         run: Optional[int] = None,
-        f: TextIO = sys.stdout,
+        f: Optional[TextIO] = None,
         last_best: bool = False,
     ) -> None:
+        if f is None:
+            # resolve at CALL time so contextlib.redirect_stdout works (a
+            # def-time sys.stdout default would pin the original stream)
+            f = sys.stdout
         if run is not None:
             hv, test, idx = self.best(run, last_best)
             print(f"Run {run + 1:02d}:", file=f)
