@@ -33,6 +33,7 @@ def _run(script):
         ("multichip_cpu_mesh.py", "devices: 8"),
         ("serving.py", "top-5 candidates for node 0"),
         ("custom_dataset.py", "Hits@50 from npz dataset"),
+        ("hybrid_tiles.py", "hybrid backend Hits@50"),
     ],
 )
 def test_example_runs(script, needle):
