@@ -786,3 +786,30 @@ def test_eval_metric_mismatch_warns():
         warnings.simplefilter("error")
         loggers2 = run_experiment(args2, log=lambda *_: None)
     assert "MRR" in loggers2
+
+
+def test_mrr_quality_on_learnable_graph():
+    """MRR-path quality check (the bench gate covers hits only): a short
+    fixed-seed run on an SBM mrr dataset must rank true targets well above
+    the random-negative floor (~0.09 MRR with 50 negatives per source).
+    Calibrated: this config measures test MRR ≈ 0.53 at epoch 20 (0.69 by
+    30); the 0.30 floor catches real learning regressions with margin."""
+    args = _args(
+        data_name="synthetic:mrr-sbm:num_nodes=2000,num_edges=30000,seed=5",
+        eval_metric="mrr",
+        neg_sampler="local",
+        epochs=20,
+        eval_steps=5,
+        lr=0.003,
+        batch_size=8192,
+        emb_hidden_channels=64,
+        gnn_hidden_channels=64,
+        mlp_hidden_channels=64,
+        num_neg=3,
+        dropout=0.3,
+        seed=0,
+    )
+    loggers = run_experiment(args, log=lambda *_: None)
+    traj = np.asarray(loggers["MRR"].results[0])
+    best_test = traj[traj[:, 0].argmax(), 1]
+    assert best_test > 0.30, f"MRR quality floor: {traj}"
