@@ -238,3 +238,29 @@ def test_hybrid_mean_uses_precomputed_degrees(rng):
     np.testing.assert_array_equal(
         np.asarray(hg.in_degrees), np.asarray(g.in_degrees)
     )
+
+
+def test_cli_hybrid_serving_mode(tmp_path, rng):
+    """--score_pairs works over the hybrid backend: the cached encode runs
+    through the tile path, scoring through the common predictor machinery."""
+    from plnlp_tpu.cli import argument, run_experiment, run_scoring
+
+    ck = str(tmp_path / "ck")
+    base = [
+        "--data_name=synthetic:hits-sbm:num_nodes=600,num_edges=6000",
+        "--epochs=1", "--eval_steps=1", "--runs=1", "--batch_size=256",
+        "--emb_hidden_channels=16", "--gnn_hidden_channels=16",
+        "--mlp_hidden_channels=16", "--adj_backend=hybrid",
+        "--tile_min_fill=4", "--block_rows=8", "--block_edges=32",
+        f"--checkpoint_dir={ck}", "--checkpoint_every=1",
+    ]
+    run_experiment(argument(base), log=lambda *_: None)
+    pairs = rng.integers(0, 600, (17, 2)).astype(np.int64)
+    pin = str(tmp_path / "pairs.npy")
+    np.save(pin, pairs)
+    scores = run_scoring(
+        argument(base + [f"--score_pairs={pin}",
+                         f"--score_out={tmp_path / 's.npy'}"]),
+        log=lambda *_: None,
+    )
+    assert scores.shape == (17,) and np.isfinite(scores).all()
