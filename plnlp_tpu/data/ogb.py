@@ -16,8 +16,9 @@ The ``.pt`` split files are read by a TORCH-FREE restricted reader
 rebuilt as NumPy arrays straight from the zip, with every other pickle
 constructor blocked — no arbitrary-code-execution surface and no torch
 runtime dependency.  torch.load(weights_only=True) is the fallback for
-exotic archives; the unsafe weights_only=False path only runs behind a
-loud warning.  There is NO download path — OGB data must already be on
+exotic archives; the unsafe weights_only=False path never runs unless the
+user opts in with PLNLP_UNSAFE_PT_LOAD=1 (it executes code embedded in the
+pickle).  There is NO download path — OGB data must already be on
 disk (zero-egress environment); otherwise use ``synthetic:*`` datasets.
 """
 
@@ -106,13 +107,46 @@ def _rebuild_tensor_v2(
     metadata=None,
 ):
     """NumPy twin of torch._utils._rebuild_tensor_v2: view the flat storage
-    at (offset, size, stride) in ELEMENTS, then copy to a contiguous array."""
+    at (offset, size, stride) in ELEMENTS, then copy to a contiguous array.
+
+    shape/stride/offset come straight from the (untrusted) pickle, and
+    as_strided performs NO bounds checking — every element the view can
+    touch is validated against the storage length first, else a crafted
+    file reads arbitrary process memory."""
+    import pickle
+
+    storage_offset = int(storage_offset)
+    size = tuple(int(s) for s in size)
+    stride = tuple(int(s) for s in stride)
+    if (
+        storage_offset < 0
+        or len(stride) != len(size)
+        or any(s < 0 for s in size)
+        or any(st < 0 for st in stride)
+    ):
+        raise pickle.UnpicklingError(
+            f"tensor metadata out of bounds: offset={storage_offset} "
+            f"size={size} stride={stride}"
+        )
     if not size:
+        if storage_offset >= len(storage):
+            raise pickle.UnpicklingError(
+                f"scalar offset {storage_offset} beyond storage "
+                f"({len(storage)} elements)"
+            )
         return storage[storage_offset].copy()
+    if any(s == 0 for s in size):
+        return np.empty(size, dtype=storage.dtype)
+    last = storage_offset + sum((s - 1) * st for s, st in zip(size, stride))
+    if last >= len(storage):
+        raise pickle.UnpicklingError(
+            f"tensor view reaches element {last} of a {len(storage)}-element "
+            f"storage (offset={storage_offset} size={size} stride={stride})"
+        )
     itemsize = storage.dtype.itemsize
     view = np.lib.stride_tricks.as_strided(
         storage[storage_offset:],
-        shape=tuple(size),
+        shape=size,
         strides=tuple(s * itemsize for s in stride),
     )
     return np.ascontiguousarray(view)
@@ -163,7 +197,13 @@ def _load_pt_without_torch(path: str):
                         f"unexpected storage type {tag!r}"
                     )
                 raw = zf.read(f"{prefix}data/{key}")
-                return np.frombuffer(raw, dtype=tag.dtype)[: int(numel)]
+                numel = int(numel)
+                if numel < 0 or len(raw) < numel * np.dtype(tag.dtype).itemsize:
+                    raise pickle.UnpicklingError(
+                        f"storage '{key}' claims {numel} elements but the "
+                        f"archive member holds {len(raw)} bytes"
+                    )
+                return np.frombuffer(raw, dtype=tag.dtype)[:numel]
 
         with zf.open(pkl_name) as f:
             return _Restricted(f).load()
@@ -191,12 +231,22 @@ def _load_split_file(path: str):
 
     try:
         return _to_numpy(torch.load(path, map_location="cpu", weights_only=True))
-    except Exception:
+    except Exception as safe_err:
+        # weights_only=False executes arbitrary code embedded in the pickle.
+        # Never run it implicitly: an attacker only needs to craft a file
+        # both safe readers reject to reach it.  Explicit opt-in only.
+        if os.environ.get("PLNLP_UNSAFE_PT_LOAD") != "1":
+            raise RuntimeError(
+                f"{path}: torch-free reader failed ({torch_free_err!r}) and "
+                f"torch.load(weights_only=True) rejected the file "
+                f"({safe_err!r}). Refusing weights_only=False, which would "
+                f"EXECUTE code embedded in the pickle. If you trust this "
+                f"file, set PLNLP_UNSAFE_PT_LOAD=1 to allow it."
+            ) from safe_err
         warnings.warn(
-            f"{path}: torch-free reader failed ({torch_free_err!r}) and "
-            f"torch.load(weights_only=True) rejected the file; falling back "
-            f"to weights_only=False, which EXECUTES code embedded in the "
-            f"pickle — only do this with files you trust",
+            f"{path}: both safe readers rejected the file; "
+            f"PLNLP_UNSAFE_PT_LOAD=1 is set, loading with "
+            f"weights_only=False — this EXECUTES code embedded in the pickle",
             stacklevel=2,
         )
         return _to_numpy(

@@ -112,15 +112,102 @@ def test_safe_fallback_for_allowlisted_containers(tmp_path):
     assert out["c"] == collections.Counter({"x": 1})
 
 
-def test_unsafe_fallback_warns(tmp_path):
-    """Exotic archives reach weights_only=False only behind a loud warning."""
+def test_unsafe_fallback_refused_by_default(tmp_path, monkeypatch):
+    """Archives both safe readers reject must NOT auto-execute via
+    weights_only=False — that hole defeats the restricted reader entirely."""
     path = tmp_path / "exotic.pt"
     # A real torch archive whose content the restricted reader AND
     # torch.load(weights_only=True) both reject (custom constructor).
     torch.save({"o": _CustomPayload()}, path)
+    monkeypatch.delenv("PLNLP_UNSAFE_PT_LOAD", raising=False)
+    with pytest.raises(RuntimeError, match="PLNLP_UNSAFE_PT_LOAD"):
+        _load_split_file(str(path))
+
+
+def test_unsafe_fallback_opt_in_warns(tmp_path, monkeypatch):
+    """With the explicit opt-in env var, the unsafe path runs behind a
+    loud warning."""
+    path = tmp_path / "exotic.pt"
+    torch.save({"o": _CustomPayload()}, path)
+    monkeypatch.setenv("PLNLP_UNSAFE_PT_LOAD", "1")
     with pytest.warns(UserWarning, match="weights_only=False"):
         out = _load_split_file(str(path))
     assert out["o"] == _CustomPayload()
+
+
+def _resave_with_fake_meta(tmp_path, size, stride, offset):
+    """A torch.save-layout archive whose pickle calls _rebuild_tensor_v2
+    with attacker-chosen (size, stride, offset) over a 4-element int64
+    storage — exactly what a crafted malicious .pt file would contain."""
+    import torch._utils as tu
+
+    class _Stub:
+        pass
+
+    class _P(pickle.Pickler):
+        def persistent_id(self, obj):
+            if isinstance(obj, _Stub):
+                # torch.LongStorage pickles as GLOBAL, which the restricted
+                # reader's find_class maps to its int64 storage tag.
+                return ("storage", torch.LongStorage, "0", "cpu", 4)
+            return None
+
+    class _Call:
+        def __reduce__(self):
+            return (
+                tu._rebuild_tensor_v2,
+                (_Stub(), offset, size, stride, False, {}),
+            )
+
+    buf = io.BytesIO()
+    _P(buf, protocol=2).dump(_Call())
+    path = tmp_path / "attack.pt"
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", buf.getvalue())
+        zf.writestr("archive/data/0", np.arange(4, dtype=np.int64).tobytes())
+    return path
+
+
+@pytest.mark.parametrize(
+    "size,stride,offset",
+    [
+        ((1000000,), (1,), 0),     # shape far beyond the 4-element storage
+        ((2, 2), (8, 1), 0),       # stride walks past the end
+        ((4,), (1,), 2),           # offset pushes the tail out of bounds
+        ((4,), (-1,), 3),          # negative stride walks backwards
+        ((2,), (1,), -1),          # negative offset
+    ],
+)
+def test_oob_tensor_metadata_rejected(tmp_path, size, stride, offset):
+    """Crafted shape/stride/offset must raise, not read process memory
+    through an unchecked as_strided view (ADVICE r3 high)."""
+    path = _resave_with_fake_meta(tmp_path, size, stride, offset)
+    with pytest.raises(pickle.UnpicklingError, match="bounds|reaches|offset"):
+        _load_pt_without_torch(str(path))
+
+
+def test_inbounds_view_still_loads(tmp_path):
+    """The bounds check must not reject legitimate strided views."""
+    path = _resave_with_fake_meta(tmp_path, (2, 2), (2, 1), 0)
+    out = _load_pt_without_torch(str(path))
+    np.testing.assert_array_equal(out, np.arange(4, dtype=np.int64).reshape(2, 2))
+
+
+def test_numel_exceeding_member_rejected(tmp_path):
+    """A storage claiming more elements than its zip member holds must be
+    rejected at persistent_load, not silently truncated."""
+    src = tmp_path / "ok.pt"
+    torch.save({"t": torch.arange(8, dtype=torch.int64)}, src)
+    dst = tmp_path / "short.pt"
+    with zipfile.ZipFile(src) as zin:
+        entries = [(n, zin.read(n)) for n in zin.namelist()]
+    with zipfile.ZipFile(dst, "w") as zout:
+        for name, blob in entries:
+            if name.split("/")[-1] == "0":  # the storage payload
+                blob = blob[: 2 * 8]  # keep 2 of 8 int64 elements
+            zout.writestr(name, blob)
+    with pytest.raises(pickle.UnpicklingError, match="claims|bytes|bounds|reaches"):
+        _load_pt_without_torch(str(dst))
 
 
 def test_missing_file_raises_file_not_found(tmp_path):
