@@ -39,6 +39,7 @@ BASELINE_SPARSE_EDGES_PER_SEC = 76e6  # round-1 blocked spmm fwd+bwd ~67.5 ms
 BASELINE_TCONV_EDGES_PER_SEC = 11.0e6  # segment/autodiff path, round-3 chip-day
 BASELINE_SERVING_PAIRS_PER_SEC = 26e6  # round-3 landing measurement
 QUALITY_GATE_HITS50 = 6.0  # threshold; 9.9 measured at round-3 landing
+QUALITY_GATE_MRR = 0.30  # threshold; ~0.53 measured when the mrr test landed
 
 
 def _wait_for_backend(max_wait_s: float = 900.0) -> None:
@@ -244,6 +245,46 @@ def main():
         print(
             f"QUALITY GATE FAILED: sbm Hits@50 {q_val:.2f} < "
             f"{QUALITY_GATE_HITS50} — training quality regressed",
+            file=sys.stderr,
+        )
+
+    # ---- quality gate #2: MRR path (citation2-shaped eval + local sampler).
+    # Mirrors tests/test_cli.py::test_mrr_quality_on_learnable_graph, here as
+    # a driver-visible per-round number (the hits gate can't see regressions
+    # in the mrr eval layout, tie handling, or the local sampler).
+    m_argv = [
+        "--data_name=synthetic:mrr-sbm:num_nodes=2000,num_edges=30000,seed=5",
+        "--eval_metric=mrr", "--neg_sampler=local",
+        "--epochs=20", "--eval_steps=5", "--runs=1", "--lr=0.003",
+        "--batch_size=8192", "--emb_hidden_channels=64",
+        "--gnn_hidden_channels=64", "--mlp_hidden_channels=64",
+        "--num_neg=3", "--dropout=0.3", "--adj_backend=dense", "--seed=0",
+    ]
+    with contextlib.redirect_stdout(io.StringIO()):
+        m_loggers = run_experiment(argument(m_argv), log=lambda *_: None)
+    m_traj = np.asarray(m_loggers["MRR"].results[0], np.float64)
+    m_val = float(m_traj[m_traj[:, 0].argmax(), 1])  # test at argmax valid
+    m_pass = bool(m_val >= QUALITY_GATE_MRR)
+    print(
+        json.dumps(
+            {
+                "metric": "quality_gate_sbm_mrr",
+                "value": round(m_val, 4),
+                "unit": f"MRR, test at argmax-valid (fixed-seed SBM mrr "
+                f"layout, 20 epochs, SAGE+MLP+AUC+local sampler; PASS "
+                f"threshold {QUALITY_GATE_MRR}; "
+                f"{'PASS' if m_pass else 'FAIL'})",
+                "pass": m_pass,
+                "vs_baseline": round(m_val / QUALITY_GATE_MRR, 3),
+            }
+        )
+    )
+    if not m_pass:
+        import sys
+
+        print(
+            f"QUALITY GATE FAILED: sbm MRR {m_val:.4f} < "
+            f"{QUALITY_GATE_MRR} — mrr-path training quality regressed",
             file=sys.stderr,
         )
 

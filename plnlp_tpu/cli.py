@@ -466,7 +466,9 @@ def prepare_experiment(args, log=print, serving=False):
         log(
             f"hybrid backend: {graph.num_tiles} dense tiles "
             f"({graph.dense_edges}/{graph.dense_edges + graph.res_edges} "
-            f"edges, {graph.num_tiles * graph.tile**2 * (2 if getattr(args, 'compute_dtype', 'float32') == 'bfloat16' else 4) >> 20} MB)"
+            # x2: tile_vals AND the transposed tile_vals_t (backward) are
+            # both resident in HBM.
+            f"edges, {2 * graph.num_tiles * graph.tile**2 * (2 if getattr(args, 'compute_dtype', 'float32') == 'bfloat16' else 4) >> 20} MB incl. transpose)"
         )
     else:
         graph, graph_t = prepare_graph(

@@ -104,6 +104,8 @@ def label_prop_order(src, dst, num_nodes: int, rounds: int = 5) -> np.ndarray:
         "perm_in",
         "perm_out",
         "in_degrees",
+        "row_mask",
+        "row_mask_t",
     ],
     meta_fields=[
         "num_nodes", "tile", "num_tiles", "dense_edges", "res_edges",
@@ -143,6 +145,12 @@ class HybridGraph:
     # precomputed at build time — recomputing from tile_vals would re-read
     # the whole (up to 2 GiB) tile store every mean-reduce call.
     in_degrees: Optional[jnp.ndarray] = None
+    # (n_rowtiles,) bool — True where at least one dense tile maps to the
+    # row tile.  None when every row tile is covered.  The Pallas tile
+    # kernel leaves uncovered output row tiles undefined; these masks zero
+    # them.  The XLA fallback ignores them (segment_sum zero-fills).
+    row_mask: Optional[jnp.ndarray] = None
+    row_mask_t: Optional[jnp.ndarray] = None
     reorder: str = "none"
 
 
@@ -172,9 +180,9 @@ def _build_tiles(src, dst, w, num_nodes, tile, min_fill, max_tiles=None):
         qual = np.zeros(len(uniq), bool)
         qual[top] = True
     dense_sel_keys = uniq[qual]
-    is_dense_key = np.zeros(nC * nC, bool)
-    is_dense_key[dense_sel_keys] = True
-    dense_mask = is_dense_key[key]
+    # Sorted-key membership (O(E log S)) — a dense nC*nC lookup table is
+    # quadratic in node count (~47 GB host RAM at papers100M scale).
+    dense_mask = np.isin(key, dense_sel_keys)
 
     d_src, d_dst, d_w = src[dense_mask], dst[dense_mask], w[dense_mask]
     r_src, r_dst, r_w = src[~dense_mask], dst[~dense_mask], w[~dense_mask]
@@ -244,12 +252,37 @@ def build_hybrid(
     vals, trow, tcol, (r_src, r_dst, r_w), n_dense = _build_tiles(
         es, ed, ew, num_nodes, tile, min_fill, max_tiles=max_tiles
     )
+    if len(trow) == 0:
+        # zero qualifying tiles: _build_tiles keeps one all-zero tile so
+        # shapes stay static — give it coordinates (0, 0); it adds nothing
+        trow = tcol = np.zeros(1, np.int32)
     # transposed tile set: swap coords, transpose each tile, re-sort by row
     vals_t = vals.transpose(0, 2, 1)
     order_t = np.lexsort((trow, tcol))
     tvals_t = np.ascontiguousarray(vals_t[order_t])
     trow_t = tcol[order_t]
     tcol_t = trow[order_t]
+
+    # row-tile coverage masks for the Pallas tile kernel (uncovered output
+    # row tiles are undefined there); None when fully covered (common for
+    # community-reordered graphs — skips the masking pass entirely)
+    nR = _pad_to(num_nodes, tile) // tile
+
+    def _coverage(rows):
+        m = np.zeros(nR, bool)
+        m[rows] = True
+        return None if m.all() else m
+
+    row_mask = _coverage(trow)
+    row_mask_t = _coverage(trow_t)
+
+    # int8 tile storage: exact for 0/1 adjacencies and small integer edge
+    # weights — halves the dominant vals HBM term vs bf16 (the kernel and
+    # the XLA fallback both cast to the compute dtype in-register/VMEM)
+    if np.all(vals == np.round(vals)) and np.abs(vals).max() <= 127:
+        store_dt = np.int8
+    else:
+        store_dt = jnp.dtype(dtype)
 
     if len(r_src):
         res_csr = _csr_np(r_src, r_dst, r_w, num_nodes, False, False, 1)
@@ -261,17 +294,16 @@ def build_hybrid(
     else:
         res_g = res_gt = None
 
-    # tiles stored in the COMPUTE dtype (bf16 halves bytes AND skips a
-    # full-array cast per pass); edge weights are exact small values on
-    # the benchmark graphs, and the matmul accumulates in f32 regardless
-    dt = jnp.dtype(dtype)
+    # tiles stored int8 when exact (see above) else in the COMPUTE dtype
+    # (bf16 halves bytes AND skips a full-array cast per pass); the matmul
+    # accumulates in f32 regardless
     return HybridGraph(
-        tile_vals=jnp.asarray(vals, dt),
-        tile_row=jnp.asarray(trow),
-        tile_col=jnp.asarray(tcol),
-        tile_vals_t=jnp.asarray(tvals_t, dt),
-        tile_row_t=jnp.asarray(trow_t),
-        tile_col_t=jnp.asarray(tcol_t),
+        tile_vals=jnp.asarray(vals.astype(store_dt)),
+        tile_row=jnp.asarray(trow, jnp.int32),
+        tile_col=jnp.asarray(tcol, jnp.int32),
+        tile_vals_t=jnp.asarray(tvals_t.astype(store_dt)),
+        tile_row_t=jnp.asarray(trow_t, jnp.int32),
+        tile_col_t=jnp.asarray(tcol_t, jnp.int32),
         res_graph=res_g,
         res_graph_t=res_gt,
         num_nodes=num_nodes,
@@ -282,6 +314,8 @@ def build_hybrid(
         perm_in=None if perm_in is None else jnp.asarray(perm_in),
         perm_out=None if perm_out is None else jnp.asarray(perm_out),
         in_degrees=jnp.asarray(in_deg),
+        row_mask=None if row_mask is None else jnp.asarray(row_mask),
+        row_mask_t=None if row_mask_t is None else jnp.asarray(row_mask_t),
         reorder=resolved,
     )
 
@@ -291,7 +325,7 @@ def build_hybrid(
 _TILE_CHUNK = 128
 
 
-def _tile_pass(vals, trow, tcol, x, num_nodes, T):
+def _tile_pass(vals, trow, tcol, x, num_nodes, T, row_mask=None):
     """out[trow] += vals @ x_tiles[tcol], chunked; returns (rows_pad, D)."""
     nt = vals.shape[0]
     d = x.shape[-1]
@@ -299,6 +333,18 @@ def _tile_pass(vals, trow, tcol, x, num_nodes, T):
     nR = n_pad // T
     xp = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
     x_tiles = xp.reshape(nR, T, d)
+
+    from plnlp_tpu.ops.pallas_tiles import tile_matmul, tile_pallas_supported
+
+    if tile_pallas_supported(T, d):
+        # fused block-sparse kernel: no (nt, T, D) partials round-trip,
+        # no scatter-add — vals and x tiles stream straight into the MXU
+        out = tile_matmul(vals, trow, tcol, x_tiles, nR)
+        if row_mask is not None:
+            out = jnp.where(
+                jnp.repeat(row_mask, T)[:, None], out, jnp.zeros((), out.dtype)
+            )
+        return out
 
     if nt <= _TILE_CHUNK:
         xt = x_tiles[tcol]  # (nt, T, D) — ONE contiguous-tile gather
@@ -338,14 +384,16 @@ def _tile_pass(vals, trow, tcol, x, num_nodes, T):
 def _hybrid_dir(hg: HybridGraph, x, direction: str):
     n = hg.num_nodes
     if direction == "fwd":
-        vals, trow, tcol, res = hg.tile_vals, hg.tile_row, hg.tile_col, (
-            hg.res_graph, hg.res_graph_t
+        vals, trow, tcol, mask, res = (
+            hg.tile_vals, hg.tile_row, hg.tile_col, hg.row_mask,
+            (hg.res_graph, hg.res_graph_t),
         )
     else:
-        vals, trow, tcol, res = hg.tile_vals_t, hg.tile_row_t, hg.tile_col_t, (
-            hg.res_graph_t, hg.res_graph
+        vals, trow, tcol, mask, res = (
+            hg.tile_vals_t, hg.tile_row_t, hg.tile_col_t, hg.row_mask_t,
+            (hg.res_graph_t, hg.res_graph),
         )
-    out = _tile_pass(vals, trow, tcol, x, n, hg.tile)[:n]
+    out = _tile_pass(vals, trow, tcol, x, n, hg.tile, row_mask=mask)[:n]
     g = res[0]
     if g is not None:
         out = out + blocked_sum_arrays(

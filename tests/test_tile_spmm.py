@@ -264,3 +264,150 @@ def test_cli_hybrid_serving_mode(tmp_path, rng):
         log=lambda *_: None,
     )
     assert scores.shape == (17,) and np.isfinite(scores).all()
+
+
+# --- round 4: Pallas fused tile kernel + int8 tile storage ------------------
+
+
+def test_tile_matmul_kernel_interpret_parity(rng):
+    """The fused block-sparse kernel (interpret mode on CPU) must match the
+    per-tile matmul reference on covered row tiles; uncovered row tiles are
+    undefined by contract (masked by row_mask in _tile_pass)."""
+    from plnlp_tpu.ops.pallas_tiles import tile_matmul
+
+    T, D, nR, nC, nt = 128, 128, 5, 5, 9
+    trow = np.sort(rng.integers(0, nR - 1, nt)).astype(np.int32)
+    tcol = rng.integers(0, nC, nt).astype(np.int32)
+    vals = rng.standard_normal((nt, T, T)).astype(np.float32)
+    x_tiles = rng.standard_normal((nC, T, D)).astype(np.float32)
+    out = np.asarray(
+        tile_matmul(
+            jnp.asarray(vals), jnp.asarray(trow), jnp.asarray(tcol),
+            jnp.asarray(x_tiles), nR, interpret=True,
+        )
+    ).reshape(nR, T, D)
+    expect = np.zeros((nR, T, D), np.float32)
+    for i in range(nt):
+        expect[trow[i]] += vals[i] @ x_tiles[tcol[i]]
+    covered = np.zeros(nR, bool)
+    covered[trow] = True
+    assert not covered.all()  # the contract under test includes a hole
+    np.testing.assert_allclose(
+        out[covered], expect[covered], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_tile_matmul_int8_vals_interpret(rng):
+    """int8-stored tiles cast to the compute dtype inside the kernel."""
+    from plnlp_tpu.ops.pallas_tiles import tile_matmul
+
+    T, D, nR, nC, nt = 128, 128, 3, 3, 4
+    trow = np.sort(rng.integers(0, nR, nt)).astype(np.int32)
+    tcol = rng.integers(0, nC, nt).astype(np.int32)
+    vals = rng.integers(-3, 4, (nt, T, T)).astype(np.int8)
+    x_tiles = rng.standard_normal((nC, T, D)).astype(np.float32)
+    out = np.asarray(
+        tile_matmul(
+            jnp.asarray(vals), jnp.asarray(trow), jnp.asarray(tcol),
+            jnp.asarray(x_tiles), nR, interpret=True,
+        )
+    ).reshape(nR, T, D)
+    expect = np.zeros((nR, T, D), np.float32)
+    for i in range(nt):
+        expect[trow[i]] += vals[i].astype(np.float32) @ x_tiles[tcol[i]]
+    covered = np.zeros(nR, bool)
+    covered[trow] = True
+    np.testing.assert_allclose(
+        out[covered], expect[covered], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_hybrid_pallas_path_end_to_end_interpret(rng, monkeypatch):
+    """Route _tile_pass through the Pallas kernel (interpret mode) and check
+    full hybrid_spmm fwd+grad parity vs the segment oracle — exercises the
+    row_mask zeroing of uncovered row tiles and the custom VJP."""
+    import functools
+
+    import plnlp_tpu.ops.pallas_tiles as pt
+    from plnlp_tpu.ops.spmm import spmm_segment as oracle
+
+    orig = pt.tile_matmul
+    monkeypatch.setattr(
+        pt, "tile_pallas_supported", lambda t, d: t % 128 == 0 and d % 128 == 0
+    )
+    monkeypatch.setattr(
+        pt, "tile_matmul", functools.partial(orig, interpret=True)
+    )
+
+    n, d = 300, 128
+    # sparse background + one dense 128x128 corner block: min_fill between
+    # the two fills guarantees a genuine dense/residual mix
+    s_bg, d_bg, _ = random_graph_np(rng, n, 800, weighted=False)
+    s_blk = rng.integers(0, 128, 600)
+    d_blk = rng.integers(0, 128, 600)
+    src = np.concatenate([s_bg, s_blk])
+    dst = np.concatenate([d_bg, d_blk])
+    w = rng.uniform(0.2, 1.5, len(src)).astype(np.float32)
+    g = build_graph(src, dst, w, num_nodes=n)
+    hg = build_hybrid(
+        src, dst, w, num_nodes=n, tile=128, min_fill=400, block=(8, 32)
+    )
+    assert hg.dense_edges > 0 and hg.res_edges > 0  # a genuine mix
+    assert hg.row_mask is not None  # uncovered row tiles exist -> mask path
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    out = hybrid_spmm(hg, x, "sum")
+    expect = oracle(g, x, "sum")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expect), rtol=1e-4, atol=1e-4
+    )
+    cot = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    gx = jax.grad(lambda x: jnp.vdot(hybrid_spmm(hg, x, "sum"), cot))(x)
+    gx_ref = jax.grad(lambda x: jnp.vdot(oracle(g, x, "sum"), cot))(x)
+    np.testing.assert_allclose(
+        np.asarray(gx), np.asarray(gx_ref), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_hybrid_int8_store_for_integer_weights(rng):
+    """Unweighted/integer-weighted graphs store tiles int8 (exact); float
+    weights keep the compute dtype.  Parity holds either way."""
+    from plnlp_tpu.ops.spmm import spmm_segment as oracle
+
+    n, d = 120, 16
+    src, dst, _ = random_graph_np(rng, n, 900, weighted=False)
+    g = build_graph(src, dst, None, num_nodes=n)
+    hg = build_hybrid(src, dst, None, num_nodes=n, tile=16, min_fill=2,
+                      block=(8, 32))
+    assert hg.tile_vals.dtype == jnp.int8
+    assert hg.tile_vals_t.dtype == jnp.int8
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(hybrid_spmm(hg, x, "sum")),
+        np.asarray(oracle(g, x, "sum")),
+        rtol=1e-4, atol=1e-5,
+    )
+
+    wf = rng.uniform(0.1, 2.0, len(src)).astype(np.float32)
+    hg_f = build_hybrid(src, dst, wf, num_nodes=n, tile=16, min_fill=2,
+                        block=(8, 32))
+    assert hg_f.tile_vals.dtype == jnp.float32
+
+
+def test_hybrid_zero_qualifying_tiles_static_shapes(rng):
+    """min_fill beyond any tile's fill: the single zero filler tile keeps
+    shapes static and contributes nothing."""
+    n, d = 80, 8
+    src, dst, w = random_graph_np(rng, n, 400, weighted=True)
+    from plnlp_tpu.ops.spmm import spmm_segment as oracle
+
+    g = build_graph(src, dst, w, num_nodes=n)
+    hg = build_hybrid(src, dst, w, num_nodes=n, tile=16, min_fill=10**9,
+                      block=(8, 32))
+    assert hg.dense_edges == 0
+    assert hg.tile_row.shape == (1,)
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(hybrid_spmm(hg, x, "sum")),
+        np.asarray(oracle(g, x, "sum")),
+        rtol=1e-4, atol=1e-5,
+    )
