@@ -37,6 +37,7 @@ import time
 BASELINE_EDGES_PER_SEC = 239e6  # round-1 first measurement, dense path, f32
 BASELINE_SPARSE_EDGES_PER_SEC = 76e6  # round-1 blocked spmm fwd+bwd ~67.5 ms
 BASELINE_TCONV_EDGES_PER_SEC = 11.0e6  # segment/autodiff path, round-3 chip-day
+BASELINE_HYBRID_EDGES_PER_SEC = 155e6  # round-3 GO measurement (32.8 ms, XLA tiles)
 BASELINE_SERVING_PAIRS_PER_SEC = 26e6  # round-3 landing measurement
 QUALITY_GATE_HITS50 = 6.0  # threshold; 9.9 measured at round-3 landing
 QUALITY_GATE_MRR = 0.30  # threshold; ~0.53 measured when the mrr test landed
@@ -163,6 +164,58 @@ def main():
             }
         )
     )
+
+    # ---- hybrid dense-tile metric: Pallas fused tile kernel + int8 tiles +
+    # blocked residual at collab scale on the community-structured graph the
+    # lever exists for (800-community SBM, labelprop reorder, min_fill 384;
+    # round-3 GO config — RESULTS.md).  Graph passed as a jit ARG: capturing
+    # the tile store as a lowering constant overflows the remote-compile
+    # request (measured: HTTP 413 at 616 MB).
+    from plnlp_tpu.data.synthetic import make_sbm_graph
+    from plnlp_tpu.ops.tile_spmm import build_hybrid
+    from plnlp_tpu.ops.spmm import spmm as spmm_any
+
+    h_src, h_dst = make_sbm_graph(
+        np.random.default_rng(7), ns, es, num_communities=800
+    )
+    hg = build_hybrid(
+        h_src, h_dst, None, num_nodes=ns, tile=512, min_fill=384,
+        symmetrize=True, reorder="labelprop", dtype="bfloat16",
+    )
+    h_edges = hg.dense_edges + hg.res_edges
+    xh = jax.random.normal(jax.random.PRNGKey(0), (ns, ds), jnp.bfloat16)
+    hyb_f = jax.jit(
+        jax.value_and_grad(
+            lambda x, g: jnp.sum(spmm_any(g, x, "sum").astype(jnp.float32) ** 2),
+            argnums=0,
+        )
+    )
+    v, gr = hyb_f(xh, hg)
+    v, gr = hyb_f(xh + 0.0 * v.astype(jnp.bfloat16), hg)
+    float(v)
+    hy_iters = 8
+    t0 = time.time()
+    xi = xh
+    for _ in range(hy_iters):
+        v, gr = hyb_f(xi, hg)
+        xi = xh + 0.0 * v.astype(jnp.bfloat16)
+    float(v)
+    hy_dt = (time.time() - t0) / hy_iters
+    hy_eps = h_edges * 2 / hy_dt
+    print(
+        json.dumps(
+            {
+                "metric": "hybrid_tile_spmm_fwd_bwd_edges_per_sec",
+                "value": round(hy_eps),
+                "unit": f"edges/s (collab-size 800-community SBM N={ns} "
+                f"E={h_edges} D=256 bf16; {hg.num_tiles} tiles "
+                f"{100 * hg.dense_edges // h_edges}% dense, "
+                f"store={hg.tile_vals.dtype}; {hy_dt*1e3:.1f} ms)",
+                "vs_baseline": round(hy_eps / BASELINE_HYBRID_EDGES_PER_SEC, 3),
+            }
+        )
+    )
+    del hg, hyb_f
 
     # ---- transformer-conv metric: blocked hand-VJP fwd+bwd, collab scale --
     from plnlp_tpu.models.encoders import apply_encoder, init_encoder

@@ -105,8 +105,14 @@ def argument(argv=None):
     )
     parser.add_argument(
         "--tile_min_fill", type=int, default=384,
-        help="hybrid backend: minimum edges per 512x512 tile to run it "
+        help="hybrid backend: minimum edges per tile to run it "
         "dense on the MXU; below that the edge stays on the gather path",
+    )
+    parser.add_argument(
+        "--tile_size", type=int, default=512,
+        help="hybrid backend: dense tile edge length T (TxT tiles); 512 "
+        "matches the MXU/VMEM sweet spot at D=256 — shrink only for tiny "
+        "test graphs",
     )
     parser.add_argument("--dense_threshold", type=int, default=20000)
     parser.add_argument(
@@ -394,13 +400,12 @@ def prepare_experiment(args, log=print, serving=False):
         log(f"autotuned block = ({args.block_rows}, {args.block_edges})")
     elif args.block_rows == 0:
         args.block_rows = 512
-    if num_shards > 1 and args.adj_backend == "hybrid":
-        # never silently discard an explicit backend choice (the elif
-        # chain below would route to the partitioned blocked-CSR path)
+    hybrid_multichip = num_shards > 1 and args.adj_backend == "hybrid"
+    if hybrid_multichip and args.encoder.upper() == "TRANSFORMER":
         raise SystemExit(
-            "--adj_backend=hybrid is single-device (the dense-tile sets "
-            "are not partitioned yet — TODO_ROUND4.md); drop --num_shards "
-            "or use --adj_backend=csr"
+            "--adj_backend=hybrid supports SAGE/GCN/WSAGE (the "
+            "TransformerConv needs per-edge CSR structure); use "
+            "--adj_backend=csr"
         )
     mesh_data = getattr(args, "mesh_data", 1) or 1
     if num_shards > 1 or mesh_data > 1:
@@ -423,6 +428,11 @@ def prepare_experiment(args, log=print, serving=False):
             comm=getattr(args, "partition_comm", "auto"),
             latency_rows=getattr(args, "comm_latency_rows", 512.0),
             reorder=getattr(args, "partition_reorder", "auto"),
+            # --adj_backend=hybrid composes the dense-tile SpMM with the
+            # partition: labelprop slot assignment + per-shard tile sets
+            tile=getattr(args, "tile_size", 512) if hybrid_multichip else 0,
+            min_fill=getattr(args, "tile_min_fill", 384),
+            tile_dtype=getattr(args, "compute_dtype", "float32"),
             log=log,
         )
         pg = graph.pg
@@ -433,6 +443,13 @@ def prepare_experiment(args, log=print, serving=False):
             + (
                 f" halo_quota={pg.halo_quota} halo_hubs={pg.halo_hubs}"
                 if graph.comm == "halo"
+                else ""
+            )
+            + (
+                f" tiles/shard={pg.shard_tiles} "
+                f"dense_edges={pg.tile_dense_edges} "
+                f"store={pg.tile_vals.dtype}"
+                if pg.tile
                 else ""
             )
         )
@@ -456,7 +473,7 @@ def prepare_experiment(args, log=print, serving=False):
             surg["adj_dst"],
             surg["adj_weight"],
             num_nodes=num_nodes,
-            tile=512,
+            tile=getattr(args, "tile_size", 512),
             min_fill=getattr(args, "tile_min_fill", 384),
             block=(args.block_rows, args.block_edges),
             dtype=getattr(args, "compute_dtype", "float32"),

@@ -25,7 +25,7 @@ from plnlp_tpu.nn import linear, torch_linear_init
 
 PREDICTOR_NAMES = ("DOT", "BIL", "MLP", "MLPDOT", "MLPBIL", "MLPCAT")
 
-__all__ = ["init_predictor", "apply_predictor", "PREDICTOR_NAMES"]
+__all__ = ["init_predictor", "apply_predictor", "grid_scores", "PREDICTOR_NAMES"]
 
 
 def _init_mlp_stack(key, dims):
@@ -134,3 +134,30 @@ def apply_predictor(
         tj = _tower(params["lins"], x_j, dropout, train, r2)
         return jnp.sum(linear(params["bilin"], ti) * tj, axis=-1)
     raise ValueError(f"unknown predictor: {name}")
+
+
+def grid_scores(params, name: str, h_src, h_cand):
+    """(S, C) all-pairs scores via per-node transforms + ONE MXU matmul.
+
+    DOT/BIL/MLPDOT/MLPBIL factorize: the per-node parts (towers, the
+    bilinear transform) run once per node, then the pairwise reduction is a
+    single (S, D') @ (D', C) matmul — at serving-grid shapes this replaces
+    the S*C materialized elementwise products the chunked pairwise path
+    pays (layer.py:119-189 semantics, eval mode: no dropout).  Returns
+    None for genuinely pairwise predictors (MLP, MLPCAT), whose first
+    layer consumes a per-PAIR vector.
+    """
+    name = name.upper()
+    if name == "DOT":
+        return h_src @ h_cand.T
+    if name == "BIL":
+        return linear(params["bilin"], h_src) @ h_cand.T
+    if name == "MLPDOT":
+        ti = _tower(params["lins"], h_src, 0.0, False, None)
+        tj = _tower(params["lins"], h_cand, 0.0, False, None)
+        return ti @ tj.T
+    if name == "MLPBIL":
+        ti = _tower(params["lins"], h_src, 0.0, False, None)
+        tj = _tower(params["lins"], h_cand, 0.0, False, None)
+        return linear(params["bilin"], ti) @ tj.T
+    return None

@@ -41,6 +41,7 @@ __all__ = [
     "build_hybrid",
     "hybrid_spmm",
     "tile_stats",
+    "tile_pass_tiles",
     "label_prop_order",
 ]
 
@@ -325,14 +326,18 @@ def build_hybrid(
 _TILE_CHUNK = 128
 
 
-def _tile_pass(vals, trow, tcol, x, num_nodes, T, row_mask=None):
-    """out[trow] += vals @ x_tiles[tcol], chunked; returns (rows_pad, D)."""
-    nt = vals.shape[0]
-    d = x.shape[-1]
-    n_pad = _pad_to(num_nodes, T)
-    nR = n_pad // T
-    xp = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
-    x_tiles = xp.reshape(nR, T, d)
+def tile_pass_tiles(vals, trow, tcol, x_tiles, n_rowtiles, row_mask=None):
+    """out[trow] += vals @ x_tiles[tcol]; returns (n_rowtiles * T, D).
+
+    The core tile pass over pre-tiled features — used directly by the
+    multi-chip path (parallel.graph_parallel), where ``x_tiles`` is the
+    all-gathered feature buffer and ``trow`` is shard-local.  Pallas fused
+    kernel on TPU (ops/pallas_tiles); chunked einsum + segment-sum in XLA
+    otherwise."""
+    nt, T, _ = vals.shape
+    nR = n_rowtiles
+    d = x_tiles.shape[-1]
+    x_dt = x_tiles.dtype
 
     from plnlp_tpu.ops.pallas_tiles import tile_matmul, tile_pallas_supported
 
@@ -349,13 +354,13 @@ def _tile_pass(vals, trow, tcol, x, num_nodes, T, row_mask=None):
     if nt <= _TILE_CHUNK:
         xt = x_tiles[tcol]  # (nt, T, D) — ONE contiguous-tile gather
         part = jnp.einsum(
-            "nuv,nvd->nud", vals.astype(x.dtype), xt,
+            "nuv,nvd->nud", vals.astype(x_dt), xt,
             preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        ).astype(x_dt)
         out = jax.ops.segment_sum(
             part, trow, num_segments=nR, indices_are_sorted=True
         )
-        return out.reshape(n_pad, d)
+        return out.reshape(nR * T, d)
 
     nchunks = -(-nt // _TILE_CHUNK)
     pad = nchunks * _TILE_CHUNK - nt
@@ -370,15 +375,23 @@ def _tile_pass(vals, trow, tcol, x, num_nodes, T, row_mask=None):
         c = jax.lax.dynamic_slice_in_dim(tcol_p, i * _TILE_CHUNK, _TILE_CHUNK)
         xt = x_tiles[c]
         part = jnp.einsum(
-            "nuv,nvd->nud", v.astype(x.dtype), xt,
+            "nuv,nvd->nud", v.astype(x_dt), xt,
             preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        ).astype(x_dt)
         return acc.at[r].add(part)
 
     out = jax.lax.fori_loop(
-        0, nchunks, body, jnp.zeros((nR, T, d), x.dtype)
+        0, nchunks, body, jnp.zeros((nR, T, d), x_dt)
     )
-    return out.reshape(n_pad, d)
+    return out.reshape(nR * T, d)
+
+
+def _tile_pass(vals, trow, tcol, x, num_nodes, T, row_mask=None):
+    """out[trow] += vals @ x_tiles[tcol]; returns (rows_pad, D)."""
+    n_pad = _pad_to(num_nodes, T)
+    xp = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+    x_tiles = xp.reshape(n_pad // T, T, x.shape[-1])
+    return tile_pass_tiles(vals, trow, tcol, x_tiles, n_pad // T, row_mask)
 
 
 def _hybrid_dir(hg: HybridGraph, x, direction: str):

@@ -119,9 +119,27 @@ def make_graph_parallel(
     comm: str = "auto",
     latency_rows: float = _DEFAULT_LATENCY_ROWS,
     reorder: Optional[str] = None,
+    tile: int = 0,
+    min_fill: int = 384,
+    tile_dtype="float32",
+    max_tile_bytes: int = 2 * 1024**3,
     log=None,
 ) -> GraphParallel:
+    """``tile`` > 0 composes the hybrid dense-tile SpMM with the partition
+    (per-shard tile sets over the all-gathered buffer + blocked residual).
+    Tiles read the full gathered buffer, so the comm plan is pinned to
+    'all_gather'; use reorder='labelprop' so communities survive the
+    node->slot assignment (the default when tiles are on)."""
     num_shards = mesh.shape["node"]
+    if tile:
+        if reorder in (None, "auto"):
+            reorder = "labelprop"
+        if comm not in ("auto", "all_gather"):
+            raise ValueError(
+                "tile > 0 requires comm='all_gather' (tiles read the full "
+                f"gathered feature buffer), got comm={comm!r}"
+            )
+        comm = "all_gather"
     pg = partition_graph(
         src,
         dst,
@@ -131,6 +149,10 @@ def make_graph_parallel(
         block=block,
         symmetrize=symmetrize,
         reorder=reorder,
+        tile=tile,
+        min_fill=min_fill,
+        tile_dtype=tile_dtype,
+        max_tile_bytes=max_tile_bytes,
     )
     if comm == "auto":
         comm = choose_comm(pg, latency_rows)
@@ -177,6 +199,49 @@ def _apply(mesh, R, rows, x, blk_src, blk_weight, blk_local, blk_rowblock):
         ),
         out_specs=P("node", None),
     )(x, blk_src, blk_weight, blk_local, blk_rowblock)
+
+
+def _apply_tiles(mesh, R, rows, T, x, blk_src, blk_weight, blk_local,
+                 blk_rowblock, tv, tr, tc, mask):
+    """Hybrid multi-chip aggregation: per-shard dense tiles over the
+    all-gathered buffer (MXU, no per-edge gather) + the blocked residual.
+    The tile matmuls and the residual gather both read x_full, so XLA
+    schedules them independently after the one all_gather."""
+    from plnlp_tpu.ops.tile_spmm import tile_pass_tiles
+
+    nrl = rows // T
+    has_mask = mask is not None
+
+    def body(x_blk, bs, bw, bl, brb, tv, tr, tc, *m):
+        x_full = jax.lax.all_gather(x_blk, "node", axis=0, tiled=True)
+        res = blocked_sum_arrays(x_full, bs[0], bw[0], bl[0], brb[0], R, rows)
+        x_tiles = x_full.reshape(-1, T, x_full.shape[-1])
+        tile_out = tile_pass_tiles(
+            tv[0], tr[0], tc[0], x_tiles, nrl, m[0][0] if m else None
+        )
+        return res + tile_out[:rows].astype(res.dtype)
+
+    specs = [
+        P("node", None),
+        P("node", None, None),
+        P("node", None, None),
+        P("node", None, None),
+        P("node", None),
+        P("node", None, None, None),
+        P("node", None),
+        P("node", None),
+    ]
+    args = [x, blk_src, blk_weight, blk_local, blk_rowblock, tv, tr, tc]
+    if has_mask:
+        specs.append(P("node", None))
+        args.append(mask)
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        check_vma=False,  # Pallas out_shape has no vma annotation (see _apply)
+        in_specs=tuple(specs),
+        out_specs=P("node", None),
+    )(*args)
 
 
 def _apply_halo(mesh, R, rows, x, plan):
@@ -245,6 +310,24 @@ def _mean_scale(pg: PartitionedGraph, y: jnp.ndarray) -> jnp.ndarray:
 def _direction(pg: PartitionedGraph, mesh: Mesh, comm: str, x, direction: str):
     pre = "fwd_" if direction == "fwd" else "bwd_"
     get = lambda name: getattr(pg, pre + name)
+    if pg.tile:
+        suf = "" if direction == "fwd" else "_t"
+        t = lambda name: getattr(pg, "tile_" + name + suf)
+        return _apply_tiles(
+            mesh,
+            pg.block_rows,
+            pg.rows_per_shard,
+            pg.tile,
+            x,
+            get("blk_src"),
+            get("blk_weight"),
+            get("blk_local"),
+            get("blk_rowblock"),
+            t("vals"),
+            t("row"),
+            t("col"),
+            t("row_mask"),
+        )
     if comm == "halo":
         return _apply_halo(
             mesh,
@@ -592,6 +675,12 @@ def partitioned_transformer_conv(gp: GraphParallel, lp, x: jnp.ndarray):
     XLA autodiff gathers/scatters.  Grad parity vs the single-device path is
     asserted in tests/test_graph_parallel.py on 2/4/8 shards."""
     pg = gp.pg
+    if pg.tile:
+        raise ValueError(
+            "TransformerConv needs the full per-edge blocked structure; "
+            "tiled partitions (tile > 0) carry only residual edges there — "
+            "partition without tiles for the TRANSFORMER encoder"
+        )
     if x.shape[0] < pg.padded_nodes:
         x = jnp.pad(x, ((0, pg.padded_nodes - x.shape[0]), (0, 0)))
     out = _ptc(pg, lp, x, gp.mesh)

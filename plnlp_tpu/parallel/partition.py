@@ -76,6 +76,14 @@ __all__ = [
         "bwd_halo",
         "perm_in",
         "perm_out",
+        "tile_vals",
+        "tile_row",
+        "tile_col",
+        "tile_vals_t",
+        "tile_row_t",
+        "tile_col_t",
+        "tile_row_mask",
+        "tile_row_mask_t",
     ],
     meta_fields=[
         "num_nodes",
@@ -88,6 +96,9 @@ __all__ = [
         "reorder",
         "shard_edges",
         "shard_nblk",
+        "tile",
+        "tile_dense_edges",
+        "shard_tiles",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -132,6 +143,24 @@ class PartitionedGraph:
     # (destination-sharded) structure — the load-balance report
     shard_edges: Tuple[int, ...] = ()
     shard_nblk: Tuple[int, ...] = ()
+    # --- optional per-shard dense-tile sets (the hybrid backend, multi-chip:
+    # ops/tile_spmm composed with the partition).  ``tile`` == 0 disables.
+    # tile_row is SHARD-LOCAL (row tile within the shard's row range, sorted
+    # per shard incl. padding tiles at nRl-1); tile_col indexes the GLOBAL
+    # all-gathered buffer's col tiles.  ``*_t`` = transposed set, grouped by
+    # source shard (the backward).  Masks: per-shard row-tile coverage for
+    # the Pallas kernel (None = fully covered).
+    tile_vals: Optional[jnp.ndarray] = None  # (S, nt, T, T)
+    tile_row: Optional[jnp.ndarray] = None  # (S, nt) int32
+    tile_col: Optional[jnp.ndarray] = None  # (S, nt) int32
+    tile_vals_t: Optional[jnp.ndarray] = None
+    tile_row_t: Optional[jnp.ndarray] = None
+    tile_col_t: Optional[jnp.ndarray] = None
+    tile_row_mask: Optional[jnp.ndarray] = None  # (S, rows_per_shard/T) bool
+    tile_row_mask_t: Optional[jnp.ndarray] = None
+    tile: int = 0
+    tile_dense_edges: int = 0
+    shard_tiles: Tuple[int, ...] = ()
 
     @property
     def padded_nodes(self) -> int:
@@ -149,6 +178,12 @@ def with_halo(pg: PartitionedGraph, hub_k: Optional[int] = None) -> PartitionedG
     ``hub_k``: rows read remotely by >= hub_k shards are replicated via
     all_gather instead of counted against every peer quota (default
     max(3, S//2+1)).  See parallel.halo for the plan layout."""
+    if pg.tile:
+        raise ValueError(
+            "halo plans cover only the blocked structure; a tiled partition "
+            "(tile > 0) keeps dense edges outside it — tiles require "
+            "comm='all_gather'"
+        )
     from plnlp_tpu.parallel.halo import build_halo_plan
 
     def build(pre):
@@ -418,6 +453,14 @@ def assign_slots(
 
     if reorder == "bfs":
         order = _bfs_order(es, ed, num_nodes)
+    elif reorder == "labelprop":
+        # community-contiguous order + equal-edge contiguous ranges: the
+        # assignment the multi-chip HYBRID backend needs — same-community
+        # nodes share a shard AND stay contiguous within it, so the dense
+        # diagonal tiles survive the partition (ops/tile_spmm)
+        from plnlp_tpu.ops.tile_spmm import label_prop_order
+
+        order = label_prop_order(es, ed, num_nodes)
     elif reorder == "edges":
         order = np.arange(num_nodes, dtype=np.int64)
     else:
@@ -446,6 +489,37 @@ def _perms_from_node_map(node_map: np.ndarray, padded: int):
     return perm_in.astype(np.int32), perm_out.astype(np.int32)
 
 
+def _stack_shard_tiles(vals, trow, tcol, num_shards: int, nrl: int):
+    """Split a global (row-sorted) tile set by destination shard and pad
+    every shard to a common tile count.  Padding tiles are all-zero with
+    shard-local row nrl-1 (keeps per-shard tile_row sorted) and col 0.
+    Returns stacked (vals, local_row, col, coverage_mask_or_None,
+    per_shard_real_counts)."""
+    S = num_shards
+    shard = trow // nrl
+    counts = np.bincount(shard, minlength=S)
+    ntmax = max(int(counts.max()), 1)
+    out_vals = np.zeros((S, ntmax) + vals.shape[1:], vals.dtype)
+    out_row = np.full((S, ntmax), nrl - 1, np.int32)
+    out_col = np.zeros((S, ntmax), np.int32)
+    for s in range(S):
+        sel = shard == s
+        k = int(counts[s])
+        out_vals[s, :k] = vals[sel]
+        out_row[s, :k] = (trow[sel] - s * nrl).astype(np.int32)
+        out_col[s, :k] = tcol[sel].astype(np.int32)
+    mask = np.zeros((S, nrl), bool)
+    for s in range(S):
+        mask[s, out_row[s]] = True  # padding tiles cover nrl-1 with zeros
+    return (
+        out_vals,
+        out_row,
+        out_col,
+        None if mask.all() else mask,
+        tuple(int(c) for c in counts),
+    )
+
+
 def partition_graph(
     src,
     dst,
@@ -458,8 +532,18 @@ def partition_graph(
     coalesce: bool = True,
     reorder: Optional[str] = None,
     cap_factor: float = 1.5,
+    tile: int = 0,
+    min_fill: int = 384,
+    tile_dtype="float32",
+    max_tile_bytes: int = 2 * 1024**3,
 ) -> PartitionedGraph:
+    """``tile`` > 0 composes the hybrid dense-tile SpMM (ops/tile_spmm) with
+    the partition: tiles clearing ``min_fill`` run as per-shard MXU matmuls
+    over the all-gathered feature buffer; residual edges stay on the blocked
+    gather path.  Use with reorder='labelprop' — community-contiguous slots
+    are what make tiles dense (build_hybrid's single-device analog)."""
     R, B = block
+    align = int(np.lcm(R, tile)) if tile else R
     csr = _csr_np(src, dst, weight, num_nodes, symmetrize, coalesce, 1)
     e = csr["num_edges"]
     es = csr["senders"][:e].astype(np.int64)
@@ -467,7 +551,7 @@ def partition_graph(
     ew = csr["edge_weight"][:e]
 
     node_map, rows_per_shard, resolved = assign_slots(
-        es, ed, num_nodes, num_shards, R, reorder, cap_factor
+        es, ed, num_nodes, num_shards, align, reorder, cap_factor
     )
     if node_map is not None:
         es = node_map[es].astype(np.int64)
@@ -477,10 +561,6 @@ def partition_graph(
         )
     else:
         perm_in = perm_out = None
-    fwd, fwd_nblk = _shard_blocks(es, ed, ew, num_shards, rows_per_shard, R, B)
-    # backward: same edges, grouped by SOURCE shard (dst becomes the "src")
-    bwd, _ = _shard_blocks(ed, es, ew, num_shards, rows_per_shard, R, B)
-    bwd_map = _bwd_gather_fwd_np(fwd, bwd, num_shards, rows_per_shard, R)
 
     deg = np.zeros(num_shards * rows_per_shard, np.int32)
     np.add.at(deg, ed, 1)
@@ -490,7 +570,60 @@ def partition_graph(
         )
     )
 
+    tile_fields = {}
+    blk_es, blk_ed, blk_ew = es, ed, ew
+    if tile:
+        from plnlp_tpu.ops.tile_spmm import _build_tiles
+
+        padded = num_shards * rows_per_shard
+        max_tiles = max(int(max_tile_bytes // (tile * tile * 4)), 1)
+        vals, trow_g, tcol_g, (r_src, r_dst, r_w), n_dense = _build_tiles(
+            es, ed, ew.astype(np.float32), padded, tile, min_fill,
+            max_tiles=max_tiles,
+        )
+        if len(trow_g) == 0:
+            trow_g = tcol_g = np.zeros(1, np.int64)
+        # int8 tile storage when exact (see tile_spmm.build_hybrid)
+        if np.all(vals == np.round(vals)) and np.abs(vals).max() <= 127:
+            store_dt = np.int8
+        else:
+            store_dt = jnp.dtype(tile_dtype)
+        vals = vals.astype(store_dt)
+        nrl = rows_per_shard // tile
+        fv, fr, fc, fm, f_counts = _stack_shard_tiles(
+            vals, trow_g, tcol_g, num_shards, nrl
+        )
+        # transposed set, grouped by SOURCE shard, row-sorted per shard
+        order_t = np.lexsort((trow_g, tcol_g))
+        bv, br, bc, bm, _ = _stack_shard_tiles(
+            vals.transpose(0, 2, 1)[order_t], tcol_g[order_t],
+            trow_g[order_t], num_shards, nrl,
+        )
+        tile_fields = dict(
+            tile_vals=jnp.asarray(fv), tile_row=jnp.asarray(fr),
+            tile_col=jnp.asarray(fc),
+            tile_vals_t=jnp.asarray(bv), tile_row_t=jnp.asarray(br),
+            tile_col_t=jnp.asarray(bc),
+            tile_row_mask=None if fm is None else jnp.asarray(fm),
+            tile_row_mask_t=None if bm is None else jnp.asarray(bm),
+            tile=tile, tile_dense_edges=int(n_dense),
+            shard_tiles=f_counts,
+        )
+        blk_es, blk_ed, blk_ew = (
+            r_src.astype(np.int64), r_dst.astype(np.int64), r_w
+        )
+
+    fwd, fwd_nblk = _shard_blocks(
+        blk_es, blk_ed, blk_ew, num_shards, rows_per_shard, R, B
+    )
+    # backward: same edges, grouped by SOURCE shard (dst becomes the "src")
+    bwd, _ = _shard_blocks(
+        blk_ed, blk_es, blk_ew, num_shards, rows_per_shard, R, B
+    )
+    bwd_map = _bwd_gather_fwd_np(fwd, bwd, num_shards, rows_per_shard, R)
+
     return PartitionedGraph(
+        **tile_fields,
         fwd_blk_src=jnp.asarray(fwd["blk_src"].astype(np.int32)),
         fwd_blk_weight=jnp.asarray(fwd["blk_weight"]),
         fwd_blk_local=jnp.asarray(fwd["blk_local"].astype(np.int32)),

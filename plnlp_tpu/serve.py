@@ -211,19 +211,27 @@ class Scorer:
         cand_d = jnp.asarray(candidates)
         per = max(1, self._MAX_GRID_PAIRS // max(c, 1))
         ids_out, scores_out = [], []
+        from plnlp_tpu.models.predictors import grid_scores
+
+        # Factorizable predictors (DOT/BIL/MLPDOT/MLPBIL — incl. the collab
+        # flagship DOT config): per-node transforms once + ONE matmul per
+        # chunk replaces the S*C materialized pairwise products.
+        h_cand = self.h[cand_d]
         for lo in range(0, s, per):
             srcs_d = jnp.asarray(srcs[lo : lo + per])
             sc = srcs_d.shape[0]
-            pairs = jnp.stack(
-                [jnp.repeat(srcs_d, c), jnp.tile(cand_d, sc)], axis=1
+            scores = grid_scores(
+                self.params["predictor"], self.model.cfg.predictor,
+                self.h[srcs_d], h_cand,
             )
-            scores = (
-                self.model.batch_predict(
-                    self.params, self.h, pairs, mesh=self.mesh
+            if scores is None:
+                pairs = jnp.stack(
+                    [jnp.repeat(srcs_d, c), jnp.tile(cand_d, sc)], axis=1
                 )
-                .reshape(sc, c)
-                .astype(jnp.float32)
-            )
+                scores = self.model.batch_predict(
+                    self.params, self.h, pairs, mesh=self.mesh
+                ).reshape(sc, c)
+            scores = scores.astype(jnp.float32)
             if mask_fn is not None:
                 scores = mask_fn(srcs_d, scores)
             # Per-source top-k is independent across chunks — no merge.

@@ -150,6 +150,34 @@ def test_fuzz_train_parity_across_backends(seed):
         comm=p_comm, reorder=p_reorder,
     )
 
+    # Fifth/sixth backends (non-TRANSFORMER configs): the hybrid dense-tile
+    # path, single-device and composed with the partition.  min_fill sweeps
+    # all-dense / mixed / all-residual across seeds.
+    extra = {}
+    if cfg.encoder != "TRANSFORMER":
+        from plnlp_tpu.ops.tile_spmm import build_hybrid
+
+        h_fill = [1, 3, 10**9][seed % 3]
+        extra["hybrid"] = (
+            build_hybrid(
+                src, dst, weights, num_nodes=n, symmetrize=False,
+                tile=16, min_fill=h_fill, block=(8, 16),
+                reorder="labelprop" if seed % 2 else None,
+            ),
+            None,
+        )
+        # 2 shards here: 8-shard tiled coverage lives in the dedicated
+        # test_graph_parallel tests; an 8-way shard_map compile per fuzz
+        # seed doubles the whole suite's wall time on CPU
+        extra["tiled-partitioned"] = (
+            make_graph_parallel(
+                src, dst, weights, num_nodes=n,
+                mesh=make_mesh(data=1, node=2), block=(8, 16),
+                tile=16, min_fill=h_fill,
+            ),
+            None,
+        )
+
     # identical batch stream for every backend
     use_margin = cfg.loss_func in (
         "WeightedAUC", "AdaAUC", "WeightedHingeAUC", "AdaHingeAUC"
@@ -175,7 +203,9 @@ def test_fuzz_train_parity_across_backends(seed):
         "blocked": (gb, gbt),
         "segment": (gs, gst),
         "partitioned": (gp, None),
+        **extra,
     }
+    compare = [name for name in backends if name != "segment"]
 
     # Tight check: gradients at identical initial params.  (Final params
     # after optimizer steps are NOT comparable elementwise: Adam rescales a
@@ -193,7 +223,7 @@ def test_fuzz_train_parity_across_backends(seed):
     for name, (g, gt) in backends.items():
         params = model.init_params(jax.random.PRNGKey(7))
         grads[name] = jax.grad(loss_of)(params, g, gt)
-    for name in ("dense", "blocked", "partitioned"):
+    for name in compare:
         for (path, ga), gb_leaf in zip(
             jax.tree_util.tree_flatten_with_path(grads[name])[0],
             jax.tree_util.tree_leaves(grads["segment"]),
@@ -213,7 +243,7 @@ def test_fuzz_train_parity_across_backends(seed):
         )
     ref_losses, _ = results["segment"]
     assert all(np.isfinite(ref_losses)), (cfg, ref_losses)
-    for name in ("dense", "blocked", "partitioned"):
+    for name in compare:
         losses, _ = results[name]
         np.testing.assert_allclose(
             losses, ref_losses, rtol=2e-3, atol=1e-4,

@@ -620,3 +620,159 @@ def test_reorder_full_train_step_parity(setup, rng):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5
         )
+
+
+# --- round 4: hybrid dense tiles composed with the partition ----------------
+
+
+@pytest.mark.parametrize("shards", [2, 8])
+@pytest.mark.parametrize("reduce", ["sum", "mean"])
+def test_tiled_partition_matches_single(setup, shards, reduce):
+    """tile>0: per-shard dense tiles + blocked residual == the segment
+    oracle, with the labelprop slot assignment riding the custom VJP."""
+    n, d, src, dst, w, g, x = setup
+    from plnlp_tpu.parallel.graph_parallel import make_graph_parallel
+
+    mesh = make_mesh(data=1, node=shards)
+    gp = make_graph_parallel(
+        src, dst, w, num_nodes=n, mesh=mesh, block=(8, 32),
+        tile=16, min_fill=3,
+    )
+    assert gp.pg.tile == 16 and gp.comm == "all_gather"
+    assert gp.pg.tile_dense_edges > 0
+    assert gp.pg.reorder == "labelprop"
+    xs = shard_node_features(x, gp.pg, mesh)
+    out = partitioned_spmm(gp, xs, reduce)[:n]
+    expect = spmm_segment(g, x, reduce)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expect), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_tiled_partition_gradient(setup):
+    n, d, src, dst, w, g, x = setup
+    from plnlp_tpu.parallel.graph_parallel import make_graph_parallel
+
+    mesh = make_mesh(data=1, node=4)
+    gp = make_graph_parallel(
+        src, dst, w, num_nodes=n, mesh=mesh, block=(8, 32),
+        tile=16, min_fill=3,
+    )
+    xs = shard_node_features(x, gp.pg, mesh)
+    cot = jnp.asarray(
+        np.random.default_rng(3).standard_normal((n, d)), jnp.float32
+    )
+    gx = jax.grad(lambda x: jnp.vdot(partitioned_spmm(gp, x, "sum"), cot))(xs)
+    gx_ref = jax.grad(lambda x: jnp.vdot(spmm_segment(g, x, "sum"), cot))(x)
+    np.testing.assert_allclose(
+        np.asarray(gx)[:n], np.asarray(gx_ref), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(gx)[n:], 0.0, atol=1e-6)
+
+
+def test_tiled_partition_all_residual_and_all_dense(setup):
+    """min_fill extremes: everything residual (zero filler tiles) and
+    everything tiled (empty-ish residual) both match the oracle."""
+    n, d, src, dst, w, g, x = setup
+    from plnlp_tpu.parallel.graph_parallel import make_graph_parallel
+
+    mesh = make_mesh(data=1, node=2)
+    expect = spmm_segment(g, x, "sum")
+    for mf, check in ((1, "dense"), (10**9, "residual")):
+        gp = make_graph_parallel(
+            src, dst, w, num_nodes=n, mesh=mesh, block=(8, 32),
+            tile=16, min_fill=mf,
+        )
+        if check == "dense":
+            assert gp.pg.tile_dense_edges == g.num_edges
+        else:
+            assert gp.pg.tile_dense_edges == 0
+        xs = shard_node_features(x, gp.pg, mesh)
+        out = partitioned_spmm(gp, xs, "sum")[:n]
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expect), rtol=1e-4, atol=1e-5,
+            err_msg=check,
+        )
+
+
+def test_tiled_partition_int8_store(rng):
+    """Unweighted graphs store per-shard tiles int8; parity holds."""
+    from plnlp_tpu.parallel.graph_parallel import make_graph_parallel
+
+    n, d = 120, 8
+    src, dst, _ = random_graph_np(rng, n, 900, weighted=False)
+    g = build_graph(src, dst, None, num_nodes=n)
+    mesh = make_mesh(data=1, node=2)
+    gp = make_graph_parallel(
+        src, dst, None, num_nodes=n, mesh=mesh, block=(8, 32),
+        tile=16, min_fill=2,
+    )
+    assert gp.pg.tile_vals.dtype == jnp.int8
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    xs = shard_node_features(x, gp.pg, mesh)
+    np.testing.assert_allclose(
+        np.asarray(partitioned_spmm(gp, xs, "sum")[:n]),
+        np.asarray(spmm_segment(g, x, "sum")),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_tiled_partition_rejects_halo_and_transformer(setup):
+    n, d, src, dst, w, g, x = setup
+    from plnlp_tpu.parallel.graph_parallel import make_graph_parallel
+    from plnlp_tpu.parallel.partition import with_halo
+
+    mesh = make_mesh(data=1, node=2)
+    with pytest.raises(ValueError, match="all_gather"):
+        make_graph_parallel(
+            src, dst, w, num_nodes=n, mesh=mesh, block=(8, 32),
+            tile=16, comm="halo",
+        )
+    gp = make_graph_parallel(
+        src, dst, w, num_nodes=n, mesh=mesh, block=(8, 32), tile=16,
+    )
+    with pytest.raises(ValueError, match="all_gather"):
+        with_halo(gp.pg)
+    from plnlp_tpu.parallel.graph_parallel import partitioned_transformer_conv
+
+    with pytest.raises(ValueError, match="TransformerConv|blocked structure"):
+        partitioned_transformer_conv(gp, None, x)
+
+
+def test_tiled_full_train_step_parity(setup, rng):
+    """A full Model train step over the tiled partition matches the
+    single-device blocked path step (same seeds/batch)."""
+    n, d, src, dst, w, g, x = setup
+    from plnlp_tpu.graph import prepare_graph
+    from plnlp_tpu.parallel.graph_parallel import make_graph_parallel
+    from plnlp_tpu.training import Model, ModelConfig
+
+    cfg = ModelConfig(
+        encoder="SAGE", predictor="MLP", loss_func="AUC",
+        gnn_hidden_channels=16, mlp_hidden_channels=16,
+        emb_hidden_channels=16, batch_size=256, num_neg=2, dropout=0.0,
+        lr=0.01,
+    )
+    pos = jnp.asarray(np.stack([src, dst], 1).astype(np.int32))
+
+    def one_epoch(graph, graph_t, sample_graph):
+        model = Model(cfg, num_nodes=n)
+        params = model.init_params(jax.random.PRNGKey(0))
+        opt_state = model.init_opt_state(params)
+        params, opt_state, loss = model.train_epoch(
+            params, opt_state, graph, graph_t, None, pos, None,
+            jax.random.PRNGKey(1), cfg.lr, sample_graph=sample_graph,
+        )
+        return float(loss)
+
+    g1, gt1 = prepare_graph(src, dst, w, num_nodes=n, block=(8, 32))
+    sample_g, _ = prepare_graph(src, dst, w, num_nodes=n, block=None)
+    base = one_epoch(g1, gt1, sample_g)
+
+    mesh = make_mesh(data=1, node=2)
+    gp = make_graph_parallel(
+        src, dst, w, num_nodes=n, mesh=mesh, block=(8, 32),
+        tile=16, min_fill=3,
+    )
+    tiled = one_epoch(gp, None, sample_g)
+    np.testing.assert_allclose(tiled, base, rtol=1e-4)

@@ -212,3 +212,45 @@ def test_rank_candidates_batch_chunked_matches_unchunked(rng, monkeypatch):
     assert ids_a.shape == ids_b.shape == (9, 7)
     np.testing.assert_allclose(sc_b, sc_a, rtol=1e-6)
     np.testing.assert_array_equal(ids_b, ids_a)
+
+
+def test_factorized_grid_matches_pairwise(rng):
+    """DOT/BIL/MLPDOT/MLPBIL rank through the one-matmul factorized grid
+    (predictors.grid_scores) — scores must match the pairwise scorer."""
+    src, dst, _ = random_graph_np(rng, 80, 500)
+    g = build_graph(src, dst, None, num_nodes=80)
+    srcs = rng.integers(0, 80, 9).astype(np.int32)
+    cands = rng.permutation(80)[:33].astype(np.int32)
+    for pred in ("DOT", "BIL", "MLPDOT", "MLPBIL", "MLP", "MLPCAT"):
+        cfg = ModelConfig(
+            emb_hidden_channels=16, gnn_hidden_channels=16,
+            mlp_hidden_channels=16, batch_size=64, predictor=pred,
+        )
+        model = Model(cfg, num_nodes=80)
+        params = model.init_params(jax.random.PRNGKey(0))
+        sc = Scorer(model, params, g)
+        ids, scores = sc.rank_candidates_batch(srcs, cands, k=5)
+        # oracle: explicit pair scoring + host top-k
+        grid = sc.score(
+            np.stack(
+                [np.repeat(srcs, len(cands)), np.tile(cands, len(srcs))], 1
+            )
+        ).reshape(len(srcs), len(cands))
+        order = np.argsort(-grid, axis=1, kind="stable")[:, :5]
+        np.testing.assert_allclose(
+            scores, np.take_along_axis(grid, order, 1), rtol=1e-4,
+            atol=1e-5, err_msg=pred,
+        )
+
+
+def test_grid_scores_factorization_coverage():
+    """The factorized path covers exactly the factorizable predictors."""
+    from plnlp_tpu.models.predictors import grid_scores, init_predictor
+
+    h = jnp.asarray(np.random.default_rng(0).standard_normal((6, 8)), jnp.float32)
+    for pred in ("DOT", "BIL", "MLPDOT", "MLPBIL"):
+        p = init_predictor(jax.random.PRNGKey(0), pred, 8, 2)
+        assert grid_scores(p, pred, h, h) is not None, pred
+    for pred in ("MLP", "MLPCAT"):
+        p = init_predictor(jax.random.PRNGKey(0), pred, 8, 2)
+        assert grid_scores(p, pred, h, h) is None, pred

@@ -210,16 +210,37 @@ def test_cli_hybrid_rejects_transformer():
         run_experiment(argument(argv), log=lambda *_: None)
 
 
-def test_cli_hybrid_rejects_num_shards():
+def test_cli_hybrid_multichip_smoke():
+    """--adj_backend=hybrid composes with --num_shards: labelprop slot
+    assignment, per-shard tile sets, residual blocked path — the full
+    experiment runs on the fake-device mesh and produces finite metrics."""
+    from plnlp_tpu.cli import argument, run_experiment
+
+    argv = [
+        "--data_name=synthetic:hits-sbm:num_nodes=800,num_edges=8000",
+        "--epochs=2", "--eval_steps=1", "--runs=1", "--batch_size=512",
+        "--emb_hidden_channels=16", "--gnn_hidden_channels=16",
+        "--mlp_hidden_channels=16", "--adj_backend=hybrid",
+        "--num_shards=2", "--tile_size=64", "--tile_min_fill=4",
+        "--block_rows=8", "--block_edges=32",
+    ]
+    logs = []
+    loggers = run_experiment(argument(argv), log=logs.append)
+    assert any("tiles/shard=" in ln for ln in logs)
+    res = np.asarray(loggers["Hits@50"].results[0])
+    assert np.isfinite(res).all()
+
+
+def test_cli_hybrid_multichip_rejects_transformer():
     import pytest as _pytest
 
     from plnlp_tpu.cli import argument, run_experiment
 
     argv = [
         "--data_name=synthetic:hits", "--epochs=1", "--runs=1",
-        "--adj_backend=hybrid", "--num_shards=2",
+        "--adj_backend=hybrid", "--num_shards=2", "--encoder=TRANSFORMER",
     ]
-    with _pytest.raises(SystemExit, match="single-device"):
+    with _pytest.raises(SystemExit, match="TransformerConv"):
         run_experiment(argument(argv), log=lambda *_: None)
 
 
