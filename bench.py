@@ -39,6 +39,7 @@ BASELINE_SPARSE_EDGES_PER_SEC = 76e6  # round-1 blocked spmm fwd+bwd ~67.5 ms
 BASELINE_TCONV_EDGES_PER_SEC = 11.0e6  # segment/autodiff path, round-3 chip-day
 BASELINE_HYBRID_EDGES_PER_SEC = 155e6  # round-3 GO measurement (32.8 ms, XLA tiles)
 BASELINE_SERVING_PAIRS_PER_SEC = 26e6  # round-3 landing measurement
+BASELINE_SERVING_DOT_PPS = 34e6  # round-4 landing (factorized grid, jitted)
 QUALITY_GATE_HITS50 = 6.0  # threshold; 9.9 measured at round-3 landing
 QUALITY_GATE_MRR = 0.30  # threshold; ~0.53 measured when the mrr test landed
 
@@ -179,7 +180,7 @@ def main():
         np.random.default_rng(7), ns, es, num_communities=800
     )
     hg = build_hybrid(
-        h_src, h_dst, None, num_nodes=ns, tile=512, min_fill=384,
+        h_src, h_dst, None, num_nodes=ns, tile=256, min_fill=96,
         symmetrize=True, reorder="labelprop", dtype="bfloat16",
     )
     h_edges = hg.dense_edges + hg.res_edges
@@ -414,6 +415,36 @@ def main():
                 "vs_baseline": round(
                     serve_pps / BASELINE_SERVING_PAIRS_PER_SEC, 3
                 ),
+            }
+        )
+    )
+
+    # ---- serving metric #2: the factorized DOT grid (round 4) ----
+    # DOT/BIL/MLPDOT/MLPBIL rank through predictors.grid_scores — per-node
+    # transforms + ONE MXU matmul + mask + top-k in a single jitted
+    # dispatch.  At this 512-source grid the pass is tunnel-latency bound
+    # (~4 round trips); the kernel itself is sub-ms.
+    import dataclasses
+
+    cfg_dot = dataclasses.replace(cfg, predictor="DOT")
+    model_dot = Model(cfg_dot, num_nodes=n)
+    params_dot = model_dot.init_params(jax.random.PRNGKey(0))
+    sc_dot = Scorer(model_dot, params_dot, dense)
+    sc_dot.rank_candidates_batch(srcs, k=10, exclude_edges=True)  # warm
+    t0 = time.time()
+    for _ in range(serve_reps):
+        sc_dot.rank_candidates_batch(srcs, k=10, exclude_edges=True)
+    dot_dt = (time.time() - t0) / serve_reps
+    dot_pps = 512 * n / dot_dt
+    print(
+        json.dumps(
+            {
+                "metric": "serving_rank_dot_pairs_per_sec",
+                "value": round(dot_pps),
+                "unit": f"pairs/s (512 srcs x {n} candidates, DOT predictor "
+                f"via factorized grid_scores, top-10, known-edge exclusion, "
+                f"one jitted dispatch; {dot_dt*1e3:.0f} ms/pass)",
+                "vs_baseline": round(dot_pps / BASELINE_SERVING_DOT_PPS, 3),
             }
         )
     )

@@ -104,15 +104,17 @@ def argument(argv=None):
         "encoders only)",
     )
     parser.add_argument(
-        "--tile_min_fill", type=int, default=384,
+        "--tile_min_fill", type=int, default=96,
         help="hybrid backend: minimum edges per tile to run it "
-        "dense on the MXU; below that the edge stays on the gather path",
+        "dense on the MXU; below that the edge stays on the gather path. "
+        "Scale with tile area (~0.15%% fill): 96 at T=256, 384 at T=512",
     )
     parser.add_argument(
-        "--tile_size", type=int, default=512,
-        help="hybrid backend: dense tile edge length T (TxT tiles); 512 "
-        "matches the MXU/VMEM sweet spot at D=256 — shrink only for tiny "
-        "test graphs",
+        "--tile_size", type=int, default=256,
+        help="hybrid backend: dense tile edge length T (TxT tiles); 256 "
+        "measured best at collab scale (finer tiles capture more edges at "
+        "the same fill density — RESULTS.md round 4); shrink only for "
+        "tiny test graphs",
     )
     parser.add_argument("--dense_threshold", type=int, default=20000)
     parser.add_argument(

@@ -47,6 +47,7 @@ class Scorer:
         self.model = model
         self.params = params
         self.mesh = mesh
+        self._rank_fns = {}  # (mask kind, k) -> jitted factorized chunk fn
         # Known-edge exclusion source for rank_candidates(exclude_edges=True):
         # defaults to the scoring graph itself; multi-chip callers whose
         # ``graph`` is a GraphParallel pass the replicated CSR twin here.
@@ -113,9 +114,12 @@ class Scorer:
         return ids[0], scores[0]
 
     def _neighbor_mask_fn(self, candidates: np.ndarray):
-        """Returns fn(srcs_dev, scores) -> scores with known-edge candidate
-        columns set to −inf, built for this candidate list (host prep once
-        per call, device work per chunk)."""
+        """Returns (apply_fn, ops): ``apply_fn(ops, srcs_dev, scores)`` sets
+        known-edge candidate columns to −inf.  All device arrays ride in
+        ``ops`` (jit ARGUMENTS, never closure constants — a closure-captured
+        adjacency would be baked into every compile payload); ``apply_fn``
+        is pure and cacheable, so the factorized ranking path can jit the
+        whole score→mask→top-k chunk around it."""
         from plnlp_tpu.dense import DenseAdj
         from plnlp_tpu.graph import Graph
 
@@ -133,27 +137,31 @@ class Scorer:
             cand_pos = jnp.asarray(pos)
 
         if isinstance(g, DenseAdj):
-            def mask_dense(srcs_d, scores):
-                rows = g.adj[srcs_d]  # (sc, N)
-                if cand_pos is not None:
-                    rows = rows[:, jnp.asarray(candidates)]
+            cand_idx = None if cand_pos is None else jnp.asarray(candidates)
+
+            def mask_dense(ops, srcs_d, scores):
+                adj, cand_idx = ops
+                rows = adj[srcs_d]  # (sc, N)
+                if cand_idx is not None:
+                    rows = rows[:, cand_idx]
                 return jnp.where(rows != 0, -jnp.inf, scores)
 
-            return mask_dense
+            return mask_dense, (g.adj, cand_idx)
         if isinstance(g, Graph):
             # Static-shape neighbor window per source: senders of the
             # in-edges of src (== its neighbors on the symmetric graphs
             # link prediction serves; for directed adjacencies this masks
             # v with edge v->src).
             md = max(int(g.max_degree), 1)
-            offs = jnp.arange(md, dtype=jnp.int32)
 
-            def mask_csr(srcs_d, scores):
-                lo = g.indptr[srcs_d]  # (sc,)
-                deg = g.indptr[srcs_d + 1] - lo
+            def mask_csr(ops, srcs_d, scores):
+                indptr, senders, cand_pos = ops
+                offs = jnp.arange(md, dtype=jnp.int32)
+                lo = indptr[srcs_d]  # (sc,)
+                deg = indptr[srcs_d + 1] - lo
                 idx = lo[:, None] + offs[None, :]  # (sc, md)
                 valid = offs[None, :] < deg[:, None]
-                nbr = g.senders[jnp.clip(idx, 0, g.senders.shape[0] - 1)]
+                nbr = senders[jnp.clip(idx, 0, senders.shape[0] - 1)]
                 col = nbr if cand_pos is None else cand_pos[nbr]
                 # invalid window slots -> out-of-bounds column, dropped
                 col = jnp.where(valid, col, scores.shape[1])
@@ -162,7 +170,7 @@ class Scorer:
                 )
                 return scores.at[rows, col].set(-jnp.inf, mode="drop")
 
-            return mask_csr
+            return mask_csr, (g.indptr, g.senders, cand_pos)
         raise ValueError(
             f"exclude_edges needs a CSR Graph or DenseAdj to read known "
             f"edges from; got {type(g).__name__} — pass exclude_graph= to "
@@ -200,7 +208,10 @@ class Scorer:
             candidates = np.asarray(candidates, np.int32)
         s, c = len(srcs), len(candidates)
         k = min(k, c)
-        mask_fn = self._neighbor_mask_fn(candidates) if exclude_edges else None
+        if exclude_edges:
+            mask_fn, mask_ops = self._neighbor_mask_fn(candidates)
+        else:
+            mask_fn = mask_ops = None
         # Build the pair grid ON DEVICE and top-k ON DEVICE: only the (S,)
         # sources go up and only the (S, k) results come back — the S×C×2
         # index grid and S×C scores never cross the host link (measured:
@@ -215,27 +226,71 @@ class Scorer:
 
         # Factorizable predictors (DOT/BIL/MLPDOT/MLPBIL — incl. the collab
         # flagship DOT config): per-node transforms once + ONE matmul per
-        # chunk replaces the S*C materialized pairwise products.
-        h_cand = self.h[cand_d]
+        # chunk replaces the S*C materialized pairwise products, and the
+        # whole score → mask → top-k chunk runs as ONE jitted dispatch
+        # (measured: the eager chain's per-op round trips over a tunneled
+        # device dominated the factorized path, 71 ms/pass of which the
+        # compute was microseconds).
+        factorized = (
+            grid_scores(
+                self.params["predictor"], self.model.cfg.predictor,
+                self.h[:1], self.h[:1],
+            )
+            is not None
+        )
+        if factorized:
+            rank_fn = self._grid_rank_fn(mask_fn, k)
+            for lo in range(0, s, per):
+                srcs_d = jnp.asarray(srcs[lo : lo + per])
+                ids, top = rank_fn(
+                    self.params["predictor"], self.h, srcs_d, cand_d,
+                    mask_ops,
+                )
+                ids_out.append(np.asarray(ids))
+                scores_out.append(np.asarray(top))
+            return np.concatenate(ids_out), np.concatenate(scores_out)
+
         for lo in range(0, s, per):
             srcs_d = jnp.asarray(srcs[lo : lo + per])
             sc = srcs_d.shape[0]
-            scores = grid_scores(
-                self.params["predictor"], self.model.cfg.predictor,
-                self.h[srcs_d], h_cand,
+            pairs = jnp.stack(
+                [jnp.repeat(srcs_d, c), jnp.tile(cand_d, sc)], axis=1
             )
-            if scores is None:
-                pairs = jnp.stack(
-                    [jnp.repeat(srcs_d, c), jnp.tile(cand_d, sc)], axis=1
-                )
-                scores = self.model.batch_predict(
+            scores = (
+                self.model.batch_predict(
                     self.params, self.h, pairs, mesh=self.mesh
-                ).reshape(sc, c)
-            scores = scores.astype(jnp.float32)
+                )
+                .reshape(sc, c)
+                .astype(jnp.float32)
+            )
             if mask_fn is not None:
-                scores = mask_fn(srcs_d, scores)
+                scores = mask_fn(mask_ops, srcs_d, scores)
             # Per-source top-k is independent across chunks — no merge.
             top_scores, top_idx = jax.lax.top_k(scores, k)  # sorted desc
             ids_out.append(np.asarray(cand_d[top_idx]))
             scores_out.append(np.asarray(top_scores))
         return np.concatenate(ids_out), np.concatenate(scores_out)
+
+    def _grid_rank_fn(self, mask_fn, k: int):
+        """Cached jit of the factorized chunk: grid scores + optional mask +
+        top-k, one device dispatch.  Cache key = (mask kind, k); chunk-shape
+        changes retrace within the same jit entry."""
+        key = (getattr(mask_fn, "__name__", None), k)
+        fn = self._rank_fns.get(key)
+        if fn is None:
+            from plnlp_tpu.models.predictors import grid_scores
+
+            name = self.model.cfg.predictor
+
+            def raw(pred_params, h, srcs_d, cand_d, mask_ops):
+                scores = grid_scores(
+                    pred_params, name, h[srcs_d], h[cand_d]
+                ).astype(jnp.float32)
+                if mask_fn is not None:
+                    scores = mask_fn(mask_ops, srcs_d, scores)
+                top_scores, top_idx = jax.lax.top_k(scores, k)
+                return cand_d[top_idx], top_scores
+
+            fn = jax.jit(raw)
+            self._rank_fns[key] = fn
+        return fn
