@@ -341,10 +341,18 @@ def tile_pass_tiles(vals, trow, tcol, x_tiles, n_rowtiles, row_mask=None):
 
     from plnlp_tpu.ops.pallas_tiles import tile_matmul, tile_pallas_supported
 
-    if tile_pallas_supported(T, d):
+    d_pad = -d % 128
+    if tile_pallas_supported(T, d + d_pad):
         # fused block-sparse kernel: no (nt, T, D) partials round-trip,
-        # no scatter-add — vals and x tiles stream straight into the MXU
+        # no scatter-add — vals and x tiles stream straight into the MXU.
+        # Odd feature dims (citation2's 200) pad up to the 128-lane
+        # boundary: ≤28% extra MXU work beats the partials round-trip the
+        # XLA fallback pays.
+        if d_pad:
+            x_tiles = jnp.pad(x_tiles, ((0, 0), (0, 0), (0, d_pad)))
         out = tile_matmul(vals, trow, tcol, x_tiles, nR)
+        if d_pad:
+            out = out[:, :d]
         if row_mask is not None:
             out = jnp.where(
                 jnp.repeat(row_mask, T)[:, None], out, jnp.zeros((), out.dtype)

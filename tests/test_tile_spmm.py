@@ -432,3 +432,32 @@ def test_hybrid_zero_qualifying_tiles_static_shapes(rng):
         np.asarray(oracle(g, x, "sum")),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_hybrid_pallas_odd_feature_dim_pads(rng, monkeypatch):
+    """Feature dims off the 128-lane boundary (citation2's 200) pad up,
+    run the kernel, and slice back — parity vs the oracle."""
+    import functools
+
+    import plnlp_tpu.ops.pallas_tiles as pt
+    from plnlp_tpu.ops.spmm import spmm_segment as oracle
+
+    orig = pt.tile_matmul
+    monkeypatch.setattr(
+        pt, "tile_pallas_supported", lambda t, d: t % 128 == 0 and d % 128 == 0
+    )
+    monkeypatch.setattr(
+        pt, "tile_matmul", functools.partial(orig, interpret=True)
+    )
+    n, d = 300, 72  # pads to 128
+    src, dst, w = random_graph_np(rng, n, 2500, weighted=True)
+    g = build_graph(src, dst, w, num_nodes=n)
+    hg = build_hybrid(
+        src, dst, w, num_nodes=n, tile=128, min_fill=4, block=(8, 32)
+    )
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(hybrid_spmm(hg, x, "sum")),
+        np.asarray(oracle(g, x, "sum")),
+        rtol=1e-4, atol=1e-4,
+    )
