@@ -75,6 +75,11 @@ def main():
         "--reorder", type=str, default="none,degree",
         help="comma list of node->slot assignment modes to sweep",
     )
+    ap.add_argument(
+        "--tile", type=int, default=256,
+        help="also sweep the tiled (hybrid) partition at this tile size on "
+        "an SBM graph; 0 disables",
+    )
     args = ap.parse_args()
 
     import os
@@ -190,6 +195,67 @@ def main():
                         }
                     )
                 )
+
+    # ---- tiled partition (hybrid x multi-chip, round 4) ----------------
+    # Community-structured graph (the regime tiles exist for): labelprop
+    # slot assignment, per-shard tile sets over the all-gathered buffer,
+    # blocked residual.  Reports tiles/shard — the tile-balance analog of
+    # shard_edges.
+    if args.tile:
+        from plnlp_tpu.data.synthetic import make_sbm_graph
+        from plnlp_tpu.parallel.graph_parallel import make_graph_parallel
+
+        t_src, t_dst = make_sbm_graph(
+            rng, args.num_nodes, args.num_edges,
+            num_communities=max(args.num_nodes // 295, 1),
+        )
+        for shards in shard_counts:
+            if shards == 1:
+                continue  # tile>0 rides the partitioned path (S>=2)
+            mesh = make_mesh(data=1, node=shards)
+            gp = make_graph_parallel(
+                t_src, t_dst, None, num_nodes=args.num_nodes, mesh=mesh,
+                block=(128, 512), symmetrize=True, tile=args.tile,
+                min_fill=max(int(0.0015 * args.tile * args.tile), 1),
+            )
+            x = jnp.asarray(
+                rng.standard_normal((args.num_nodes, args.dim)), jnp.float32
+            )
+            xs = shard_node_features(x, gp.pg, mesh)
+            f = jax.jit(
+                jax.value_and_grad(
+                    lambda x: jnp.sum(partitioned_spmm(gp, x, "sum") ** 2)
+                )
+            )
+            v, g = f(xs)
+            float(v)
+            t0 = time.time()
+            for _ in range(args.iters):
+                v, g = f(xs)
+            float(v)
+            dt = (time.time() - t0) / args.iters
+            st = np.asarray(gp.pg.shard_tiles, np.float64)
+            tot = sum(gp.pg.shard_edges)  # ALL edges (tiles + residual)
+            print(
+                json.dumps(
+                    {
+                        "comm": "all_gather",
+                        "backend": "tiled",
+                        "tile": args.tile,
+                        "shards": shards,
+                        "spmm_fwd_bwd_ms": round(dt * 1000, 1),
+                        "edges_per_sec": round(2 * args.num_edges * 2 / dt),
+                        "dense_fraction": round(
+                            gp.pg.tile_dense_edges / max(tot, 1), 3
+                        ),
+                        "shard_tiles": gp.pg.shard_tiles,
+                        "tile_imbalance": round(
+                            float(st.max() / max(st.mean(), 1)), 3
+                        ) if len(st) else None,
+                        "tile_store": str(gp.pg.tile_vals.dtype),
+                    }
+                )
+            )
 
 
 if __name__ == "__main__":
