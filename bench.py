@@ -168,8 +168,9 @@ def main():
 
     # ---- hybrid dense-tile metric: Pallas fused tile kernel + int8 tiles +
     # blocked residual at collab scale on the community-structured graph the
-    # lever exists for (800-community SBM, labelprop reorder, min_fill 384;
-    # round-3 GO config — RESULTS.md).  Graph passed as a jit ARG: capturing
+    # lever exists for (800-community SBM, labelprop reorder; T=256 /
+    # min_fill=96 — the round-4 sweep optimum, NOT the T=512/384 config the
+    # 155M anchor was measured at).  Graph passed as a jit ARG: capturing
     # the tile store as a lowering constant overflows the remote-compile
     # request (measured: HTTP 413 at 616 MB).
     from plnlp_tpu.data.synthetic import make_sbm_graph

@@ -486,8 +486,9 @@ def prepare_experiment(args, log=print, serving=False):
             f"hybrid backend: {graph.num_tiles} dense tiles "
             f"({graph.dense_edges}/{graph.dense_edges + graph.res_edges} "
             # x2: tile_vals AND the transposed tile_vals_t (backward) are
-            # both resident in HBM.
-            f"edges, {2 * graph.num_tiles * graph.tile**2 * (2 if getattr(args, 'compute_dtype', 'float32') == 'bfloat16' else 4) >> 20} MB incl. transpose)"
+            # both resident in HBM; itemsize from the STORED dtype (int8
+            # when exact, else the compute dtype).
+            f"edges, {2 * graph.num_tiles * graph.tile**2 * graph.tile_vals.dtype.itemsize >> 20} MB incl. transpose, store={graph.tile_vals.dtype})"
         )
     else:
         graph, graph_t = prepare_graph(

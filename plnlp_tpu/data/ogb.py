@@ -211,8 +211,9 @@ def _load_pt_without_torch(path: str):
 
 def _load_split_file(path: str):
     """Torch-free reader first; torch.load(weights_only=True) as the safe
-    fallback; the unsafe weights_only=False path only behind a loud warning
-    (arbitrary code execution on untrusted files)."""
+    fallback.  The unsafe weights_only=False path (arbitrary code execution
+    on untrusted files) is REFUSED unless PLNLP_UNSAFE_PT_LOAD=1 — and even
+    then it warns loudly."""
     try:
         return _load_pt_without_torch(path)
     except FileNotFoundError:

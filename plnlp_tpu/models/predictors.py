@@ -136,6 +136,43 @@ def apply_predictor(
     raise ValueError(f"unknown predictor: {name}")
 
 
+_FACTORIZABLE = ("DOT", "BIL", "MLPDOT", "MLPBIL")
+
+
+def grid_factorizable(name: str) -> bool:
+    """True when all-pairs scoring factorizes into per-node transforms +
+    one matmul (grid_scores); MLP/MLPCAT's first layer consumes a per-PAIR
+    vector, so they stay on the chunked pairwise path."""
+    return name.upper() in _FACTORIZABLE
+
+
+def grid_transform_right(params, name: str, h_cand):
+    """Candidate-side per-node transform for the factorized grid — compute
+    ONCE per candidate set, reuse across source chunks."""
+    name = name.upper()
+    if name in ("DOT", "BIL"):
+        return h_cand
+    if name in ("MLPDOT", "MLPBIL"):
+        return _tower(params["lins"], h_cand, 0.0, False, None)
+    raise ValueError(f"{name} does not factorize (see grid_factorizable)")
+
+
+def grid_scores_left(params, name: str, h_src, right):
+    """(S, C) scores: source-side transform + ONE (S, D') @ (D', C) matmul
+    against a precomputed ``grid_transform_right`` result."""
+    name = name.upper()
+    if name == "DOT":
+        return h_src @ right.T
+    if name == "BIL":
+        return linear(params["bilin"], h_src) @ right.T
+    if name == "MLPDOT":
+        return _tower(params["lins"], h_src, 0.0, False, None) @ right.T
+    if name == "MLPBIL":
+        ti = _tower(params["lins"], h_src, 0.0, False, None)
+        return linear(params["bilin"], ti) @ right.T
+    raise ValueError(f"{name} does not factorize (see grid_factorizable)")
+
+
 def grid_scores(params, name: str, h_src, h_cand):
     """(S, C) all-pairs scores via per-node transforms + ONE MXU matmul.
 
@@ -147,17 +184,8 @@ def grid_scores(params, name: str, h_src, h_cand):
     None for genuinely pairwise predictors (MLP, MLPCAT), whose first
     layer consumes a per-PAIR vector.
     """
-    name = name.upper()
-    if name == "DOT":
-        return h_src @ h_cand.T
-    if name == "BIL":
-        return linear(params["bilin"], h_src) @ h_cand.T
-    if name == "MLPDOT":
-        ti = _tower(params["lins"], h_src, 0.0, False, None)
-        tj = _tower(params["lins"], h_cand, 0.0, False, None)
-        return ti @ tj.T
-    if name == "MLPBIL":
-        ti = _tower(params["lins"], h_src, 0.0, False, None)
-        tj = _tower(params["lins"], h_cand, 0.0, False, None)
-        return linear(params["bilin"], ti) @ tj.T
-    return None
+    if not grid_factorizable(name):
+        return None
+    return grid_scores_left(
+        params, name, h_src, grid_transform_right(params, name, h_cand)
+    )

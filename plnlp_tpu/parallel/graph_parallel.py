@@ -120,7 +120,7 @@ def make_graph_parallel(
     latency_rows: float = _DEFAULT_LATENCY_ROWS,
     reorder: Optional[str] = None,
     tile: int = 0,
-    min_fill: int = 384,
+    min_fill: Optional[int] = None,  # default: ~0.15% of tile area
     tile_dtype="float32",
     max_tile_bytes: int = 2 * 1024**3,
     log=None,

@@ -410,7 +410,13 @@ def assign_slots(
     resolved_mode): ``node_map[g] = slot``; None means the identity layout
     (zero relayout cost).  See the module docstring for mode semantics."""
     legacy_rps = _pad_to(_pad_to(num_nodes, num_shards) // num_shards, R)
-    if reorder in (None, "none") or num_shards <= 1:
+    # S=1 keeps the identity layout EXCEPT for 'labelprop', whose relabel
+    # is what makes the tile sets dense (partition_graph tile>0) — a
+    # single-shard tiled partition without it degenerates to blocked SpMM
+    # plus tile overhead.
+    if reorder in (None, "none") or (
+        num_shards <= 1 and reorder != "labelprop"
+    ):
         return None, legacy_rps, "none"
     deg = np.bincount(ed, minlength=num_nodes).astype(np.int64)
 
@@ -533,15 +539,17 @@ def partition_graph(
     reorder: Optional[str] = None,
     cap_factor: float = 1.5,
     tile: int = 0,
-    min_fill: int = 384,
+    min_fill: Optional[int] = None,
     tile_dtype="float32",
     max_tile_bytes: int = 2 * 1024**3,
 ) -> PartitionedGraph:
     """``tile`` > 0 composes the hybrid dense-tile SpMM (ops/tile_spmm) with
     the partition: tiles clearing ``min_fill`` run as per-shard MXU matmuls
     over the all-gathered feature buffer; residual edges stay on the blocked
-    gather path.  Use with reorder='labelprop' — community-contiguous slots
-    are what make tiles dense (build_hybrid's single-device analog)."""
+    gather path.  ``min_fill`` defaults to ~0.15% of the tile area (96 at
+    T=256, 384 at T=512 — the measured break-even fill density).  Use with
+    reorder='labelprop' — community-contiguous slots are what make tiles
+    dense (build_hybrid's single-device analog)."""
     R, B = block
     align = int(np.lcm(R, tile)) if tile else R
     csr = _csr_np(src, dst, weight, num_nodes, symmetrize, coalesce, 1)
@@ -575,6 +583,8 @@ def partition_graph(
     if tile:
         from plnlp_tpu.ops.tile_spmm import _build_tiles
 
+        if min_fill is None:
+            min_fill = max(int(0.0015 * tile * tile), 1)
         padded = num_shards * rows_per_shard
         max_tiles = max(int(max_tile_bytes // (tile * tile * 4)), 1)
         vals, trow_g, tcol_g, (r_src, r_dst, r_w), n_dense = _build_tiles(

@@ -222,28 +222,26 @@ class Scorer:
         cand_d = jnp.asarray(candidates)
         per = max(1, self._MAX_GRID_PAIRS // max(c, 1))
         ids_out, scores_out = [], []
-        from plnlp_tpu.models.predictors import grid_scores
+        from plnlp_tpu.models.predictors import grid_factorizable
 
         # Factorizable predictors (DOT/BIL/MLPDOT/MLPBIL — incl. the collab
-        # flagship DOT config): per-node transforms once + ONE matmul per
-        # chunk replaces the S*C materialized pairwise products, and the
-        # whole score → mask → top-k chunk runs as ONE jitted dispatch
-        # (measured: the eager chain's per-op round trips over a tunneled
-        # device dominated the factorized path, 71 ms/pass of which the
-        # compute was microseconds).
-        factorized = (
-            grid_scores(
-                self.params["predictor"], self.model.cfg.predictor,
-                self.h[:1], self.h[:1],
-            )
-            is not None
+        # flagship DOT config): the candidate-side transform runs ONCE per
+        # call, then each source chunk is a source transform + ONE matmul +
+        # mask + top-k in a single jitted dispatch (measured: the eager
+        # chain's per-op round trips over a tunneled device dominated the
+        # factorized path, 71 ms/pass of which the compute was
+        # microseconds).  A data mesh routes through the sharded pairwise
+        # eval path instead — the factorized grid is not sharded (yet).
+        data_sharded = (
+            self.mesh is not None and self.mesh.shape.get("data", 1) > 1
         )
-        if factorized:
-            rank_fn = self._grid_rank_fn(mask_fn, k)
+        if grid_factorizable(self.model.cfg.predictor) and not data_sharded:
+            right_fn, rank_fn = self._grid_rank_fns(mask_fn, k)
+            right = right_fn(self.params["predictor"], self.h, cand_d)
             for lo in range(0, s, per):
                 srcs_d = jnp.asarray(srcs[lo : lo + per])
                 ids, top = rank_fn(
-                    self.params["predictor"], self.h, srcs_d, cand_d,
+                    self.params["predictor"], self.h, srcs_d, right, cand_d,
                     mask_ops,
                 )
                 ids_out.append(np.asarray(ids))
@@ -271,26 +269,34 @@ class Scorer:
             scores_out.append(np.asarray(top_scores))
         return np.concatenate(ids_out), np.concatenate(scores_out)
 
-    def _grid_rank_fn(self, mask_fn, k: int):
-        """Cached jit of the factorized chunk: grid scores + optional mask +
-        top-k, one device dispatch.  Cache key = (mask kind, k); chunk-shape
+    def _grid_rank_fns(self, mask_fn, k: int):
+        """Cached jits of the factorized path: (right_fn, rank_fn).
+        right_fn transforms the candidate side once per call; rank_fn is
+        the per-chunk source transform + matmul + optional mask + top-k —
+        one device dispatch each.  Cache key = (mask kind, k); chunk-shape
         changes retrace within the same jit entry."""
         key = (getattr(mask_fn, "__name__", None), k)
-        fn = self._rank_fns.get(key)
-        if fn is None:
-            from plnlp_tpu.models.predictors import grid_scores
+        fns = self._rank_fns.get(key)
+        if fns is None:
+            from plnlp_tpu.models.predictors import (
+                grid_scores_left,
+                grid_transform_right,
+            )
 
             name = self.model.cfg.predictor
 
-            def raw(pred_params, h, srcs_d, cand_d, mask_ops):
-                scores = grid_scores(
-                    pred_params, name, h[srcs_d], h[cand_d]
+            def right_raw(pred_params, h, cand_d):
+                return grid_transform_right(pred_params, name, h[cand_d])
+
+            def raw(pred_params, h, srcs_d, right, cand_d, mask_ops):
+                scores = grid_scores_left(
+                    pred_params, name, h[srcs_d], right
                 ).astype(jnp.float32)
                 if mask_fn is not None:
                     scores = mask_fn(mask_ops, srcs_d, scores)
                 top_scores, top_idx = jax.lax.top_k(scores, k)
                 return cand_d[top_idx], top_scores
 
-            fn = jax.jit(raw)
-            self._rank_fns[key] = fn
-        return fn
+            fns = (jax.jit(right_raw), jax.jit(raw))
+            self._rank_fns[key] = fns
+        return fns

@@ -776,3 +776,33 @@ def test_tiled_full_train_step_parity(setup, rng):
     )
     tiled = one_epoch(gp, None, sample_g)
     np.testing.assert_allclose(tiled, base, rtol=1e-4)
+
+
+def test_tiled_partition_single_shard_still_reorders(rng):
+    """S=1 + tile>0 must still run the labelprop relabel — without it the
+    tile sets are built on the original id order and degenerate to ~zero
+    coverage (code-review finding, round 4)."""
+    from plnlp_tpu.parallel.graph_parallel import make_graph_parallel
+
+    n = 400
+    comm = rng.integers(0, 8, n)
+    srcs, dsts = [], []
+    for c in range(8):
+        m = np.nonzero(comm == c)[0]
+        srcs.append(rng.choice(m, 400))
+        dsts.append(rng.choice(m, 400))
+    src, dst = np.concatenate(srcs), np.concatenate(dsts)
+    g = build_graph(src, dst, None, num_nodes=n)
+    mesh = make_mesh(data=1, node=1)
+    gp = make_graph_parallel(
+        src, dst, None, num_nodes=n, mesh=mesh, block=(8, 32), tile=16,
+    )
+    assert gp.pg.reorder == "labelprop"
+    assert gp.pg.tile_dense_edges > 0
+    x = jnp.asarray(rng.standard_normal((n, 16)), jnp.float32)
+    xs = shard_node_features(x, gp.pg, mesh)
+    np.testing.assert_allclose(
+        np.asarray(partitioned_spmm(gp, xs, "sum")[:n]),
+        np.asarray(spmm_segment(g, x, "sum")),
+        rtol=1e-4, atol=1e-5,
+    )
