@@ -99,9 +99,9 @@ def argument(argv=None):
         choices=["auto", "dense", "csr", "hybrid"],
         help="dense adjacency (MXU path, small graphs), blocked CSR, or "
         "hybrid dense-tile+CSR (label-prop reordered community tiles on "
-        "the MXU, gather residual; 1.5x over blocked CSR on "
-        "community-structured graphs — RESULTS.md round 3; SAGE/GCN/WSAGE "
-        "encoders only)",
+        "the MXU, gather residual; 1.89x over blocked CSR on "
+        "community-structured graphs — RESULTS.md round 4; all four "
+        "encoders — TRANSFORMER runs block-sparse tile attention)",
     )
     parser.add_argument(
         "--tile_min_fill", type=int, default=96,
@@ -405,9 +405,10 @@ def prepare_experiment(args, log=print, serving=False):
     hybrid_multichip = num_shards > 1 and args.adj_backend == "hybrid"
     if hybrid_multichip and args.encoder.upper() == "TRANSFORMER":
         raise SystemExit(
-            "--adj_backend=hybrid supports SAGE/GCN/WSAGE (the "
-            "TransformerConv needs per-edge CSR structure); use "
-            "--adj_backend=csr"
+            "--adj_backend=hybrid with --num_shards does not support the "
+            "TRANSFORMER encoder (the tiled partition keeps only residual "
+            "edges in the per-edge structure the partitioned attention "
+            "needs); drop --num_shards or use --adj_backend=csr"
         )
     mesh_data = getattr(args, "mesh_data", 1) or 1
     if num_shards > 1 or mesh_data > 1:
@@ -462,12 +463,8 @@ def prepare_experiment(args, log=print, serving=False):
         )
         graph_t = None
     elif args.adj_backend == "hybrid":
-        if args.encoder.upper() == "TRANSFORMER":
-            raise SystemExit(
-                "--adj_backend=hybrid supports SAGE/GCN/WSAGE (the "
-                "TransformerConv needs per-edge CSR structure); use "
-                "--adj_backend=csr"
-            )
+        # TRANSFORMER included: block-sparse attention over the tiles
+        # (ops/tile_attention.py, round 4).
         from plnlp_tpu.ops.tile_spmm import build_hybrid
 
         graph = build_hybrid(

@@ -120,6 +120,7 @@ def _wsage_conv(lp, graph, graph_t, x):
 
 def _transformer_conv(lp, graph, graph_t, x):
     from plnlp_tpu.dense import DenseAdj
+    from plnlp_tpu.ops.tile_spmm import HybridGraph
     from plnlp_tpu.parallel.graph_parallel import (
         GraphParallel,
         partitioned_transformer_conv,
@@ -128,6 +129,14 @@ def _transformer_conv(lp, graph, graph_t, x):
     if isinstance(graph, GraphParallel):
         # Destination-sharded edges make every softmax segment shard-local.
         return partitioned_transformer_conv(graph, lp, x)
+
+    if isinstance(graph, HybridGraph):
+        # Block-sparse attention: dense masked QK^T/PV per community tile
+        # on the MXU + per-edge residual, two-pass global softmax
+        # (ops/tile_attention.py).
+        from plnlp_tpu.ops.tile_attention import hybrid_transformer_conv
+
+        return hybrid_transformer_conv(lp, graph, x)
 
     if (
         not isinstance(graph, DenseAdj)

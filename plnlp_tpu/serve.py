@@ -248,8 +248,21 @@ class Scorer:
                 scores_out.append(np.asarray(top))
             return np.concatenate(ids_out), np.concatenate(scores_out)
 
+        # Pairwise predictors (MLP/MLPCAT): without a data mesh the whole
+        # chunk (pair grid + predict + mask + top-k) runs as one jitted
+        # dispatch; the sharded-eval path keeps its own jit structure.
+        rank_fn = (
+            self._pairwise_rank_fn(mask_fn, k) if not data_sharded else None
+        )
         for lo in range(0, s, per):
             srcs_d = jnp.asarray(srcs[lo : lo + per])
+            if rank_fn is not None:
+                ids, top_scores = rank_fn(
+                    self.params, self.h, srcs_d, cand_d, mask_ops
+                )
+                ids_out.append(np.asarray(ids))
+                scores_out.append(np.asarray(top_scores))
+                continue
             sc = srcs_d.shape[0]
             pairs = jnp.stack(
                 [jnp.repeat(srcs_d, c), jnp.tile(cand_d, sc)], axis=1
@@ -268,6 +281,33 @@ class Scorer:
             ids_out.append(np.asarray(cand_d[top_idx]))
             scores_out.append(np.asarray(top_scores))
         return np.concatenate(ids_out), np.concatenate(scores_out)
+
+    def _pairwise_rank_fn(self, mask_fn, k: int):
+        """Cached jit of the pairwise chunk (MLP/MLPCAT): pair grid +
+        batch_predict + optional mask + top-k, one device dispatch."""
+        key = ("pairwise", getattr(mask_fn, "__name__", None), k)
+        fn = self._rank_fns.get(key)
+        if fn is None:
+
+            def raw(params, h, srcs_d, cand_d, mask_ops):
+                sc = srcs_d.shape[0]
+                c = cand_d.shape[0]
+                pairs = jnp.stack(
+                    [jnp.repeat(srcs_d, c), jnp.tile(cand_d, sc)], axis=1
+                )
+                scores = (
+                    self.model.batch_predict(params, h, pairs)
+                    .reshape(sc, c)
+                    .astype(jnp.float32)
+                )
+                if mask_fn is not None:
+                    scores = mask_fn(mask_ops, srcs_d, scores)
+                top_scores, top_idx = jax.lax.top_k(scores, k)
+                return cand_d[top_idx], top_scores
+
+            fn = jax.jit(raw)
+            self._rank_fns[key] = fn
+        return fn
 
     def _grid_rank_fns(self, mask_fn, k: int):
         """Cached jits of the factorized path: (right_fn, rank_fn).

@@ -197,17 +197,22 @@ def test_cli_hybrid_backend_smoke():
     assert loggers["Hits@20"].results[0]
 
 
-def test_cli_hybrid_rejects_transformer():
-    import pytest as _pytest
-
+def test_cli_hybrid_transformer_smoke():
+    """TRANSFORMER over the hybrid backend (block-sparse attention,
+    ops/tile_attention.py) runs end-to-end and produces finite metrics."""
     from plnlp_tpu.cli import argument, run_experiment
 
     argv = [
-        "--data_name=synthetic:hits", "--epochs=1", "--runs=1",
-        "--adj_backend=hybrid", "--encoder=TRANSFORMER",
+        "--data_name=synthetic:hits-sbm:num_nodes=600,num_edges=6000",
+        "--epochs=2", "--eval_steps=1", "--runs=1", "--batch_size=256",
+        "--emb_hidden_channels=16", "--gnn_hidden_channels=16",
+        "--mlp_hidden_channels=16", "--adj_backend=hybrid",
+        "--encoder=TRANSFORMER", "--tile_size=64", "--tile_min_fill=4",
+        "--block_rows=8", "--block_edges=32",
     ]
-    with _pytest.raises(SystemExit, match="hybrid"):
-        run_experiment(argument(argv), log=lambda *_: None)
+    loggers = run_experiment(argument(argv), log=lambda *_: None)
+    res = np.asarray(loggers["Hits@50"].results[0])
+    assert np.isfinite(res).all()
 
 
 def test_cli_hybrid_multichip_smoke():
@@ -240,7 +245,7 @@ def test_cli_hybrid_multichip_rejects_transformer():
         "--data_name=synthetic:hits", "--epochs=1", "--runs=1",
         "--adj_backend=hybrid", "--num_shards=2", "--encoder=TRANSFORMER",
     ]
-    with _pytest.raises(SystemExit, match="TransformerConv"):
+    with _pytest.raises(SystemExit, match="TRANSFORMER"):
         run_experiment(argument(argv), log=lambda *_: None)
 
 
@@ -460,4 +465,93 @@ def test_hybrid_pallas_odd_feature_dim_pads(rng, monkeypatch):
         np.asarray(hybrid_spmm(hg, x, "sum")),
         np.asarray(oracle(g, x, "sum")),
         rtol=1e-4, atol=1e-4,
+    )
+
+
+# --- round 4: block-sparse attention (hybrid TransformerConv) ---------------
+
+
+@pytest.mark.parametrize("min_fill", [1, 3, 10**9])
+def test_hybrid_transformer_matches_segment(rng, min_fill):
+    """hybrid_transformer_conv == the per-edge segment TransformerConv
+    across fill regimes (all-dense / mixed / all-residual), values and
+    input gradients, through apply_encoder's 2-layer stack."""
+    from plnlp_tpu.models.encoders import apply_encoder, init_encoder
+
+    n, d = 150, 16
+    src, dst, _ = random_graph_np(rng, n, 1200)
+    g = build_graph(src, dst, None, num_nodes=n)
+    hg = build_hybrid(
+        src, dst, None, num_nodes=n, tile=16, min_fill=min_fill,
+        block=(8, 32), reorder="labelprop",
+    )
+    params = init_encoder(jax.random.PRNGKey(0), "TRANSFORMER", d, d, 2)
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    ref = apply_encoder(params, "TRANSFORMER", g, x)
+    out = apply_encoder(params, "TRANSFORMER", hg, x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+    cot = jnp.asarray(rng.standard_normal(ref.shape), jnp.float32)
+    gr = jax.grad(
+        lambda x: jnp.vdot(apply_encoder(params, "TRANSFORMER", g, x), cot)
+    )(x)
+    gh = jax.grad(
+        lambda x: jnp.vdot(apply_encoder(params, "TRANSFORMER", hg, x), cot)
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(gh), np.asarray(gr), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_hybrid_transformer_param_grads_match(rng):
+    """q/k/v/skip projection gradients flow correctly through the
+    two-pass tile softmax (stop_gradient only on the max)."""
+    from plnlp_tpu.models.encoders import apply_encoder, init_encoder
+
+    n, d = 120, 8
+    src, dst, _ = random_graph_np(rng, n, 900)
+    g = build_graph(src, dst, None, num_nodes=n)
+    hg = build_hybrid(
+        src, dst, None, num_nodes=n, tile=16, min_fill=3, block=(8, 32),
+        reorder="labelprop",
+    )
+    params = init_encoder(jax.random.PRNGKey(1), "TRANSFORMER", d, d, 1)
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    pr = jax.grad(
+        lambda p: jnp.vdot(apply_encoder(p, "TRANSFORMER", g, x), cot)
+    )(params)
+    ph = jax.grad(
+        lambda p: jnp.vdot(apply_encoder(p, "TRANSFORMER", hg, x), cot)
+    )(params)
+    for (kp, a), b in zip(
+        jax.tree_util.tree_flatten_with_path(pr)[0],
+        jax.tree_util.tree_leaves(ph),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=1e-5,
+            err_msg=jax.tree_util.keystr(kp),
+        )
+
+
+def test_hybrid_transformer_chunked_scan(rng, monkeypatch):
+    """More tiles than the scan chunk exercises the padded multi-chunk
+    path (zero filler tiles must contribute nothing to max or sum)."""
+    import plnlp_tpu.ops.tile_attention as ta
+    from plnlp_tpu.models.encoders import apply_encoder, init_encoder
+
+    monkeypatch.setattr(ta, "_ATTN_CHUNK", 3)
+    n, d = 100, 8
+    src, dst, _ = random_graph_np(rng, n, 800)
+    g = build_graph(src, dst, None, num_nodes=n)
+    hg = build_hybrid(src, dst, None, num_nodes=n, tile=8, min_fill=1,
+                      block=(8, 16))
+    assert hg.num_tiles > 6  # multiple chunks + padding
+    params = init_encoder(jax.random.PRNGKey(2), "TRANSFORMER", d, d, 1)
+    x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(apply_encoder(params, "TRANSFORMER", hg, x)),
+        np.asarray(apply_encoder(params, "TRANSFORMER", g, x)),
+        rtol=1e-4, atol=1e-5,
     )
