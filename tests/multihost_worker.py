@@ -109,4 +109,30 @@ for shard in out.addressable_shards:
     rows_here = np.asarray(shard.data)
     ref = expect[r0 : r0 + rows_here.shape[0]]
     np.testing.assert_allclose(rows_here[: ref.shape[0]], ref, rtol=1e-4, atol=1e-5)
-print(f"OK pid={pid} loss={float(l):.6f} spmm_ok=1")
+
+# ---- phase 3: the TILED partition (hybrid x multi-chip, round 4) across
+# both processes — per-shard dense tiles over the cross-process all_gather.
+pg_t = partition_graph(
+    src, dst, None, num_nodes=n, num_shards=4, block=(8, 64),
+    tile=8, min_fill=2, reorder="labelprop",
+)
+assert pg_t.tile_dense_edges > 0
+gp_t = GraphParallel(pg=pg_t, mesh=gmesh, comm="all_gather")
+xp_t = np.zeros((pg_t.padded_nodes, d), np.float32)
+# tiled partitions relabel node->slot; x stays in ORIGINAL ids (the perm
+# rides the custom VJP), so the per-process rows are just row ranges of x
+xp_t[:n] = xw
+rows_t = pg_t.rows_per_shard
+lo_t = pid * 2 * rows_t
+xg3 = jax.make_array_from_process_local_data(
+    NamedSharding(gmesh, P("node", None)), xp_t[lo_t : lo_t + 2 * rows_t]
+)
+out_t = jax.jit(lambda x: partitioned_spmm(gp_t, x, "sum"))(xg3)
+for shard in out_t.addressable_shards:
+    r0 = shard.index[0].start or 0
+    rows_here = np.asarray(shard.data)
+    ref = expect[r0 : r0 + rows_here.shape[0]]
+    np.testing.assert_allclose(
+        rows_here[: ref.shape[0]], ref, rtol=1e-4, atol=1e-5
+    )
+print(f"OK pid={pid} loss={float(l):.6f} spmm_ok=1 tiled_ok=1")
