@@ -38,6 +38,7 @@ BASELINE_EDGES_PER_SEC = 239e6  # round-1 first measurement, dense path, f32
 BASELINE_SPARSE_EDGES_PER_SEC = 76e6  # round-1 blocked spmm fwd+bwd ~67.5 ms
 BASELINE_TCONV_EDGES_PER_SEC = 11.0e6  # segment/autodiff path, round-3 chip-day
 BASELINE_HYBRID_EDGES_PER_SEC = 155e6  # round-3 GO measurement (32.8 ms, XLA tiles)
+BASELINE_TCONV_HEALTHY = 17.2e6  # blocked hand-VJP transformer, healthy day r4
 BASELINE_SERVING_PAIRS_PER_SEC = 26e6  # round-3 landing measurement
 BASELINE_SERVING_DOT_PPS = 34e6  # round-4 landing (factorized grid, jitted)
 QUALITY_GATE_HITS50 = 6.0  # threshold; 9.9 measured at round-3 landing
@@ -217,10 +218,51 @@ def main():
             }
         )
     )
-    del hg, hyb_f
+    # ---- block-sparse attention metric (round 4): TransformerConv over the
+    # SAME hybrid operand (ops/tile_attention.py) — dense masked QK^T/PV per
+    # tile + per-edge residual, two-pass global softmax.  Anchor = the
+    # blocked hand-VJP transformer's healthy-day rate at this scale, so
+    # vs_baseline reads directly as the speedup over the round-3 path.
+    from plnlp_tpu.models.encoders import apply_encoder, init_encoder
+
+    ta_params = init_encoder(jax.random.PRNGKey(3), "TRANSFORMER", ds, ds, 1)
+    ta_f = jax.jit(
+        jax.value_and_grad(
+            lambda x, g: jnp.sum(
+                apply_encoder(ta_params, "TRANSFORMER", g, x)
+                .astype(jnp.float32) ** 2
+            ),
+            argnums=0,
+        )
+    )
+    v, gr = ta_f(xh, hg)
+    v, gr = ta_f(xh + 0.0 * v.astype(jnp.bfloat16), hg)
+    float(v)
+    ta_iters = 4
+    t0 = time.time()
+    xi = xh
+    for _ in range(ta_iters):
+        v, gr = ta_f(xi, hg)
+        xi = xh + 0.0 * v.astype(jnp.bfloat16)
+    float(v)
+    ta_dt = (time.time() - t0) / ta_iters
+    ta_eps = h_edges * 2 / ta_dt
+    print(
+        json.dumps(
+            {
+                "metric": "hybrid_tile_attention_fwd_bwd_edges_per_sec",
+                "value": round(ta_eps),
+                "unit": f"edges/s (collab-size 800-community SBM N={ns} "
+                f"E={h_edges} D=256 bf16 block-sparse TransformerConv "
+                f"fwd+bwd; {ta_dt*1e3:.1f} ms; anchor = blocked hand-VJP "
+                f"17.2M e/s)",
+                "vs_baseline": round(ta_eps / BASELINE_TCONV_HEALTHY, 3),
+            }
+        )
+    )
+    del hg, hyb_f, ta_f
 
     # ---- transformer-conv metric: blocked hand-VJP fwd+bwd, collab scale --
-    from plnlp_tpu.models.encoders import apply_encoder, init_encoder
 
     tg, tgt = prepare_graph(
         s_src, s_dst, None, num_nodes=ns, symmetrize=True, block=(512, 512),
