@@ -116,6 +116,16 @@ def argument(argv=None):
         "the same fill density — RESULTS.md round 4); shrink only for "
         "tiny test graphs",
     )
+    parser.add_argument(
+        "--tile_reorder", type=str, default="labelprop",
+        choices=["labelprop", "multilevel", "none"],
+        help="hybrid backend: locality reorder that concentrates edges "
+        "into dense tiles.  'labelprop' = converged label propagation "
+        "(20-round cap, early-stops); 'multilevel' adds a coarse-graph "
+        "merge pass for graphs where plain label-prop fragments (~1s "
+        "extra host time; within noise of labelprop when it had already "
+        "converged); 'none' for pre-ordered ids",
+    )
     parser.add_argument("--dense_threshold", type=int, default=20000)
     parser.add_argument(
         "--block_rows", type=int, default=512,
@@ -430,7 +440,13 @@ def prepare_experiment(args, log=print, serving=False):
             block=(args.block_rows, args.block_edges),
             comm=getattr(args, "partition_comm", "auto"),
             latency_rows=getattr(args, "comm_latency_rows", 512.0),
-            reorder=getattr(args, "partition_reorder", "auto"),
+            # tiled partitions need a community-contiguous slot order —
+            # --tile_reorder governs there; --partition_reorder otherwise
+            reorder=(
+                getattr(args, "tile_reorder", "labelprop")
+                if hybrid_multichip
+                else getattr(args, "partition_reorder", "auto")
+            ),
             # --adj_backend=hybrid composes the dense-tile SpMM with the
             # partition: labelprop slot assignment + per-shard tile sets
             tile=getattr(args, "tile_size", 512) if hybrid_multichip else 0,
@@ -476,7 +492,7 @@ def prepare_experiment(args, log=print, serving=False):
             min_fill=getattr(args, "tile_min_fill", 384),
             block=(args.block_rows, args.block_edges),
             dtype=getattr(args, "compute_dtype", "float32"),
-            reorder="labelprop",
+            reorder=getattr(args, "tile_reorder", "labelprop"),
         )
         graph_t = None
         log(

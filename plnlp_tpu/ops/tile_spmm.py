@@ -43,19 +43,43 @@ __all__ = [
     "tile_stats",
     "tile_pass_tiles",
     "label_prop_order",
+    "multilevel_order",
 ]
 
 
-def label_prop_order(src, dst, num_nodes: int, rounds: int = 5) -> np.ndarray:
-    """Community-recovery node order via label propagation (host-side).
+def _weighted_label_prop(ws, wd, ww, num_nodes, rounds, init=None):
+    """Synchronous weighted label propagation (NumPy).  Each round every
+    node adopts the neighbor label with the largest incident edge-weight
+    sum (ties → smallest label, which also damps oscillation); early-stops
+    at a fixed point.  With unit weights this is the mode-of-neighbor-labels
+    sweep the native kernel mirrors bit-for-bit (tests/test_native.py)."""
+    labels = (
+        np.arange(num_nodes, dtype=np.int64) if init is None else init.copy()
+    )
+    for _ in range(rounds):
+        lab_s = labels[ws]
+        order = np.lexsort((lab_s, wd))
+        dd, ll, www = wd[order], lab_s[order], ww[order]
+        change = (dd[1:] != dd[:-1]) | (ll[1:] != ll[:-1])
+        starts = np.concatenate([[0], np.nonzero(change)[0] + 1])
+        run_dst, run_lab = dd[starts], ll[starts]
+        run_w = np.add.reduceat(www, starts)
+        # per-dst argmax run: lexsort by (dst, weight, -label) then take the
+        # last run of each dst (largest weight; smallest label wins ties)
+        o2 = np.lexsort((-run_lab, run_w, run_dst))
+        rd, rl = run_dst[o2], run_lab[o2]
+        last = np.nonzero(np.concatenate([rd[1:] != rd[:-1], [True]]))[0]
+        new = labels.copy()
+        new[rd[last]] = rl[last]
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return labels
 
-    Each round every node adopts its most frequent neighbor label (ties →
-    smallest label, which also damps oscillation); the returned order sorts
-    nodes by final label, so same-community nodes become contiguous ids —
-    the locality the dense-tile path needs.  Native C++ when available
-    (csrc/graphcore.cpp label_prop — the NumPy sweep costs 10-20 s at
-    collab scale); identical labels either way (tests/test_native.py).
-    """
+
+def _label_prop_labels(src, dst, num_nodes: int, rounds: int) -> np.ndarray:
+    """Final label-prop labels; native C++ when available (the NumPy sweep
+    costs ~2 s/round at collab scale), identical labels either way."""
     from plnlp_tpu import native
 
     if native.available():
@@ -64,31 +88,72 @@ def label_prop_order(src, dst, num_nodes: int, rounds: int = 5) -> np.ndarray:
         indptr, indices = _undirected_csr_np(
             np.asarray(src, np.int64), np.asarray(dst, np.int64), num_nodes
         )
-        labels = native.label_prop(indptr, indices, num_nodes, rounds)
-        return np.argsort(labels, kind="stable")
+        return native.label_prop(indptr, indices, num_nodes, rounds)
 
     s2 = np.concatenate([src, dst]).astype(np.int64)
     d2 = np.concatenate([dst, src]).astype(np.int64)
-    labels = np.arange(num_nodes, dtype=np.int64)
-    for _ in range(rounds):
-        lab_s = labels[s2]
-        order = np.lexsort((lab_s, d2))
-        dd, ll = d2[order], lab_s[order]
-        change = (dd[1:] != dd[:-1]) | (ll[1:] != ll[:-1])
-        starts = np.concatenate([[0], np.nonzero(change)[0] + 1])
-        run_dst, run_lab = dd[starts], ll[starts]
-        run_cnt = np.diff(np.concatenate([starts, [len(dd)]]))
-        # per-dst argmax run: lexsort by (dst, count, -label) then take the
-        # last run of each dst (largest count; smallest label wins ties)
-        o2 = np.lexsort((-run_lab, run_cnt, run_dst))
-        rd, rl = run_dst[o2], run_lab[o2]
-        last = np.nonzero(np.concatenate([rd[1:] != rd[:-1], [True]]))[0]
-        new = labels.copy()
-        new[rd[last]] = rl[last]
-        if np.array_equal(new, labels):
-            break
-        labels = new
-    return np.argsort(labels, kind="stable")
+    return _weighted_label_prop(
+        s2, d2, np.ones(len(s2), np.int64), num_nodes, rounds
+    )
+
+
+def label_prop_order(src, dst, num_nodes: int, rounds: int = 20) -> np.ndarray:
+    """Community-recovery node order via label propagation (host-side).
+
+    Each round every node adopts its most frequent neighbor label (ties →
+    smallest label); the returned order sorts nodes by final label, so
+    same-community nodes become contiguous ids — the locality the
+    dense-tile path needs.  Both implementations early-stop at the fixed
+    point, so ``rounds`` is a CAP, not a cost: the round-3 default of 5
+    was under-converged (measured on the collab-scale 800-community SBM:
+    5 rounds leaves 3336 fragments and 85.9% tile coverage; 20 rounds
+    converges to 815 communities and 94.5% — AT the true-label ceiling,
+    with 34% fewer tiles; native sweep 1.2 s)."""
+    return np.argsort(
+        _label_prop_labels(src, dst, num_nodes, rounds), kind="stable"
+    )
+
+
+def multilevel_order(
+    src, dst, num_nodes: int, rounds: int = 20, coarse_rounds: int = 10
+) -> np.ndarray:
+    """Multilevel community order: label-prop, then contract each community
+    to a supernode and label-prop the COARSE graph (edge weights = inter-
+    community edge counts), ordering nodes by (coarse label, fine label).
+
+    Plain label propagation fragments communities whose recovery stalls
+    (measured: 5-round sweep on the 800-community SBM → 3336 fragments);
+    the coarse pass merges fragments that share most of their edges, and
+    the (merged, fine) lexsort keeps each fragment contiguous inside its
+    merged span — so a WRONG merge costs little vs the arbitrary
+    cross-fragment order it replaces (merged labels can still shift
+    tile-boundary offsets; measured coverage jitter < 0.1% when plain
+    label-prop had already converged).  It exists for real-world graphs
+    with hierarchical or hard-to-recover community structure."""
+    lab0 = _label_prop_labels(src, dst, num_nodes, rounds)
+    u0, inv0 = np.unique(lab0, return_inverse=True)
+    c0 = len(u0)
+    s = np.asarray(src, np.int64)
+    d = np.asarray(dst, np.int64)
+    cs, cd = inv0[s], inv0[d]
+    keep = cs != cd
+    if not keep.any() or c0 <= 1:
+        return np.argsort(lab0, kind="stable")
+    key = cs[keep] * c0 + cd[keep]
+    uk, cnt = np.unique(key, return_counts=True)
+    ws = (uk // c0).astype(np.int64)
+    wd = (uk % c0).astype(np.int64)
+    # propagate along both directions (input need not be symmetric; for a
+    # symmetric input this doubles every weight uniformly — harmless)
+    lab1 = _weighted_label_prop(
+        np.concatenate([ws, wd]),
+        np.concatenate([wd, ws]),
+        np.concatenate([cnt, cnt]).astype(np.int64),
+        c0,
+        coarse_rounds,
+    )
+    merged = lab1[inv0]
+    return np.lexsort((lab0, merged))
 
 
 @functools.partial(
@@ -238,14 +303,18 @@ def build_hybrid(
 
     perm_in = perm_out = None
     resolved = "none"
-    if reorder in ("labelprop", "cluster"):
-        order = label_prop_order(es, ed, num_nodes)  # order[slot] = old id
+    if reorder in ("labelprop", "cluster", "multilevel"):
+        if reorder == "multilevel":
+            order = multilevel_order(es, ed, num_nodes)  # order[slot]=old id
+            resolved = "multilevel"
+        else:
+            order = label_prop_order(es, ed, num_nodes)
+            resolved = "labelprop"
         node_map = np.empty(num_nodes, np.int64)
         node_map[order] = np.arange(num_nodes)
         es, ed = node_map[es], node_map[ed]
         perm_in = order.astype(np.int32)
         perm_out = node_map.astype(np.int32)
-        resolved = "labelprop"
     elif reorder not in (None, "none"):
         raise ValueError(f"unknown reorder mode: {reorder!r}")
 

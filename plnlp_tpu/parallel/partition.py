@@ -410,12 +410,12 @@ def assign_slots(
     resolved_mode): ``node_map[g] = slot``; None means the identity layout
     (zero relayout cost).  See the module docstring for mode semantics."""
     legacy_rps = _pad_to(_pad_to(num_nodes, num_shards) // num_shards, R)
-    # S=1 keeps the identity layout EXCEPT for 'labelprop', whose relabel
-    # is what makes the tile sets dense (partition_graph tile>0) — a
-    # single-shard tiled partition without it degenerates to blocked SpMM
-    # plus tile overhead.
+    # S=1 keeps the identity layout EXCEPT for the community reorders,
+    # whose relabel is what makes the tile sets dense (partition_graph
+    # tile>0) — a single-shard tiled partition without it degenerates to
+    # blocked SpMM plus tile overhead.
     if reorder in (None, "none") or (
-        num_shards <= 1 and reorder != "labelprop"
+        num_shards <= 1 and reorder not in ("labelprop", "multilevel")
     ):
         return None, legacy_rps, "none"
     deg = np.bincount(ed, minlength=num_nodes).astype(np.int64)
@@ -459,14 +459,19 @@ def assign_slots(
 
     if reorder == "bfs":
         order = _bfs_order(es, ed, num_nodes)
-    elif reorder == "labelprop":
+    elif reorder in ("labelprop", "multilevel"):
         # community-contiguous order + equal-edge contiguous ranges: the
         # assignment the multi-chip HYBRID backend needs — same-community
         # nodes share a shard AND stay contiguous within it, so the dense
-        # diagonal tiles survive the partition (ops/tile_spmm)
-        from plnlp_tpu.ops.tile_spmm import label_prop_order
+        # diagonal tiles survive the partition (ops/tile_spmm); multilevel
+        # adds the coarse-graph merge pass (fragmented-community graphs)
+        from plnlp_tpu.ops.tile_spmm import label_prop_order, multilevel_order
 
-        order = label_prop_order(es, ed, num_nodes)
+        order = (
+            multilevel_order(es, ed, num_nodes)
+            if reorder == "multilevel"
+            else label_prop_order(es, ed, num_nodes)
+        )
     elif reorder == "edges":
         order = np.arange(num_nodes, dtype=np.int64)
     else:
