@@ -101,7 +101,21 @@ def argument(argv=None):
         "hybrid dense-tile+CSR (label-prop reordered community tiles on "
         "the MXU, gather residual; 1.89x over blocked CSR on "
         "community-structured graphs — RESULTS.md round 4; all four "
-        "encoders — TRANSFORMER runs block-sparse tile attention)",
+        "encoders — TRANSFORMER runs block-sparse tile attention). "
+        "'auto' picks dense below --dense_threshold nodes, then "
+        "estimates post-reorder tile coverage (ops.tile_spmm."
+        "estimate_hybrid — no tile build) and picks hybrid when it "
+        "clears --tile_auto_coverage, blocked CSR otherwise",
+    )
+    parser.add_argument(
+        "--tile_auto_coverage", type=float, default=0.5,
+        help="adj_backend=auto: minimum estimated dense-tile edge "
+        "coverage to choose the hybrid backend.  0.5 is conservative: "
+        "the measured hybrid time model (RESULTS.md round 4: residual "
+        "rides the gather wall, tile pass ~9 ms at 85%% coverage) "
+        "breaks even near ~0.25-0.3 and is a clear win by 0.5; "
+        "power-law graphs estimate <<0.5 and stay on blocked CSR "
+        "(the round-3 kill list)",
     )
     parser.add_argument(
         "--tile_min_fill", type=int, default=96,
@@ -412,7 +426,43 @@ def prepare_experiment(args, log=print, serving=False):
         log(f"autotuned block = ({args.block_rows}, {args.block_edges})")
     elif args.block_rows == 0:
         args.block_rows = 512
-    hybrid_multichip = num_shards > 1 and args.adj_backend == "hybrid"
+    # auto above the dense threshold: estimate post-reorder tile coverage
+    # (no tile build) and pick hybrid when community structure makes the
+    # dense-tile path a measured win; blocked CSR otherwise.  The computed
+    # order feeds build_hybrid so the reorder sweep runs once.
+    backend = args.adj_backend
+    auto_order = None
+    if backend == "auto" and not use_dense:
+        if num_shards > 1 and args.encoder.upper() == "TRANSFORMER":
+            # the tiled partition keeps only residual edges in the
+            # per-edge structure the partitioned attention needs
+            backend = "csr"
+        else:
+            from plnlp_tpu.ops.tile_spmm import estimate_hybrid
+
+            est = estimate_hybrid(
+                surg["adj_src"],
+                surg["adj_dst"],
+                num_nodes=num_nodes,
+                tile=getattr(args, "tile_size", 512),
+                min_fill=getattr(args, "tile_min_fill", 384),
+                reorder=getattr(args, "tile_reorder", "labelprop"),
+            )
+            thr = getattr(args, "tile_auto_coverage", 0.5)
+            backend = "hybrid" if est["coverage"] >= thr else "csr"
+            if backend == "hybrid" and num_shards <= 1:
+                # single-shard build_hybrid reuses the estimator's order;
+                # the tiled partition computes its own slot assignment
+                # (community-contiguous AND equal-edge, partition.py)
+                auto_order = est["order"]
+            log(
+                f"auto backend: estimated tile coverage "
+                f"{est['coverage']:.1%} ({est['num_tiles']} tiles at "
+                f"T={getattr(args, 'tile_size', 512)}"
+                f"/min_fill={getattr(args, 'tile_min_fill', 384)}, "
+                f"threshold {thr:.0%}) -> {backend}"
+            )
+    hybrid_multichip = num_shards > 1 and backend == "hybrid"
     if hybrid_multichip and args.encoder.upper() == "TRANSFORMER":
         raise SystemExit(
             "--adj_backend=hybrid with --num_shards does not support the "
@@ -478,7 +528,7 @@ def prepare_experiment(args, log=print, serving=False):
             surg["adj_src"], surg["adj_dst"], surg["adj_weight"], num_nodes=num_nodes
         )
         graph_t = None
-    elif args.adj_backend == "hybrid":
+    elif backend == "hybrid":
         # TRANSFORMER included: block-sparse attention over the tiles
         # (ops/tile_attention.py, round 4).
         from plnlp_tpu.ops.tile_spmm import build_hybrid
@@ -493,6 +543,7 @@ def prepare_experiment(args, log=print, serving=False):
             block=(args.block_rows, args.block_edges),
             dtype=getattr(args, "compute_dtype", "float32"),
             reorder=getattr(args, "tile_reorder", "labelprop"),
+            order=auto_order,
         )
         graph_t = None
         log(
@@ -514,7 +565,7 @@ def prepare_experiment(args, log=print, serving=False):
             # slot coupling (ops/transformer.py)
             couple_transpose=args.encoder.upper() == "TRANSFORMER",
         )
-    if (num_shards > 1 or use_dense or args.adj_backend == "hybrid") and not serving:
+    if (num_shards > 1 or use_dense or backend == "hybrid") and not serving:
         # Replicated CSR twin for negative-sampler exclusion + random walks
         # (host-built once; cheap relative to the main structure).
         sample_graph, _ = prepare_graph(

@@ -39,6 +39,7 @@ from plnlp_tpu.ops.spmm import _zero_cotangent, blocked_sum_arrays
 __all__ = [
     "HybridGraph",
     "build_hybrid",
+    "estimate_hybrid",
     "hybrid_spmm",
     "tile_stats",
     "tile_pass_tiles",
@@ -265,6 +266,69 @@ def _build_tiles(src, dst, w, num_nodes, tile, min_fill, max_tiles=None):
     return vals, tile_row, tile_col, (r_src, r_dst, r_w), int(len(d_src))
 
 
+def _community_order(reorder: str, es, ed, num_nodes: int) -> np.ndarray:
+    """Dispatch the locality reorder by mode name."""
+    if reorder == "multilevel":
+        return multilevel_order(es, ed, num_nodes)
+    return label_prop_order(es, ed, num_nodes)
+
+
+def estimate_hybrid(
+    src,
+    dst,
+    *,
+    num_nodes: int,
+    tile: int = 512,
+    min_fill: int = 192,
+    symmetrize: bool = False,
+    coalesce: bool = True,
+    max_tile_bytes: int = 2 * 1024**3,
+    reorder: Optional[str] = "labelprop",
+) -> dict:
+    """Cheap build-time estimate of what the hybrid backend would get.
+
+    Runs the locality reorder and the tile-key histogram — NO tile
+    materialization, no residual CSR build — so ``--adj_backend=auto``
+    can decide hybrid-vs-blocked before paying the full build.  Cost is
+    the reorder sweep itself (~1-2 s native at collab scale) plus one
+    ``np.unique`` over E keys.
+
+    Returns ``{"coverage", "num_tiles", "num_edges", "order"}``:
+    ``coverage`` is the fraction of (coalesced) edges that would ride
+    dense tiles at this tile/min_fill/budget, and ``order`` (None when
+    ``reorder='none'``) can be handed to ``build_hybrid(order=...)`` so
+    the chosen backend does not run the reorder a second time.
+    """
+    csr = _csr_np(src, dst, None, num_nodes, symmetrize, coalesce, 1)
+    e = csr["num_edges"]
+    es = csr["senders"][:e].astype(np.int64)
+    ed = csr["receivers"][:e].astype(np.int64)
+
+    order = None
+    if reorder in ("labelprop", "cluster", "multilevel"):
+        order = _community_order(reorder, es, ed, num_nodes)
+        node_map = np.empty(num_nodes, np.int64)
+        node_map[order] = np.arange(num_nodes)
+        es, ed = node_map[es], node_map[ed]
+    elif reorder not in (None, "none"):
+        raise ValueError(f"unknown reorder mode: {reorder!r}")
+
+    nC = _pad_to(num_nodes, tile) // tile
+    key = (ed // tile) * nC + (es // tile)
+    _, counts = np.unique(key, return_counts=True)
+    qual = counts[counts >= min_fill]
+    max_tiles = max(int(max_tile_bytes // (tile * tile * 4)), 1)
+    if len(qual) > max_tiles:
+        qual = np.sort(qual)[-max_tiles:]
+    dense = int(qual.sum())
+    return {
+        "coverage": dense / max(e, 1),
+        "num_tiles": int(len(qual)),
+        "num_edges": int(e),
+        "order": order,
+    }
+
+
 def build_hybrid(
     src,
     dst,
@@ -279,6 +343,7 @@ def build_hybrid(
     max_tile_bytes: int = 2 * 1024**3,
     dtype="float32",
     reorder: Optional[str] = None,
+    order: Optional[np.ndarray] = None,
 ) -> HybridGraph:
     """Build the hybrid operand.  ``min_fill``: minimum edges per T×T tile
     to run it dense; below that the edge stays on the blocked gather path.
@@ -291,7 +356,11 @@ def build_hybrid(
     exceeds it, min_fill is raised to the largest-count tiles that fit —
     a safety valve, since tile memory is E_dense/fill × 4 bytes and
     low-fill regimes explode it (measured: 50-community SBM at collab
-    scale = 0.22% fill = 12.7 GB — unshippable; RESULTS.md round 3)."""
+    scale = 0.22% fill = 12.7 GB — unshippable; RESULTS.md round 3).
+
+    ``order``: a precomputed reorder permutation (order[slot] = old id),
+    e.g. from ``estimate_hybrid`` — skips re-running the ``reorder``
+    sweep; only consulted when ``reorder`` names a community mode."""
     csr = _csr_np(src, dst, weight, num_nodes, symmetrize, coalesce, 1)
     e = csr["num_edges"]
     es = csr["senders"][:e].astype(np.int64)
@@ -304,12 +373,11 @@ def build_hybrid(
     perm_in = perm_out = None
     resolved = "none"
     if reorder in ("labelprop", "cluster", "multilevel"):
-        if reorder == "multilevel":
-            order = multilevel_order(es, ed, num_nodes)  # order[slot]=old id
-            resolved = "multilevel"
+        if order is None:
+            order = _community_order(reorder, es, ed, num_nodes)
         else:
-            order = label_prop_order(es, ed, num_nodes)
-            resolved = "labelprop"
+            order = np.asarray(order, np.int64)  # order[slot] = old id
+        resolved = "multilevel" if reorder == "multilevel" else "labelprop"
         node_map = np.empty(num_nodes, np.int64)
         node_map[order] = np.arange(num_nodes)
         es, ed = node_map[es], node_map[ed]

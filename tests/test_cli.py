@@ -259,7 +259,8 @@ def test_log_steps_gates_printing():
 
 def test_dense_threshold_auto_dispatch():
     """adj_backend=auto picks the dense backend at/below --dense_threshold
-    nodes and CSR above it."""
+    nodes; above it, blocked CSR when the estimated tile coverage misses
+    --tile_auto_coverage (forced here with an unreachable 1.5)."""
     from plnlp_tpu.cli import prepare_experiment
     from plnlp_tpu.dense import DenseAdj
     from plnlp_tpu.graph import Graph
@@ -269,9 +270,75 @@ def test_dense_threshold_auto_dispatch():
     )
     assert isinstance(small["graph"], DenseAdj)
     big = prepare_experiment(
-        _args(adj_backend="auto", dense_threshold=10)  # 2000 nodes > 10
+        _args(adj_backend="auto", dense_threshold=10, tile_auto_coverage=1.5)
     )
     assert isinstance(big["graph"], Graph)
+
+
+def test_auto_backend_picks_hybrid_on_community_graph():
+    """adj_backend=auto above the dense threshold estimates post-reorder
+    tile coverage and picks the hybrid backend when it clears the
+    threshold; the decision is logged with the estimate."""
+    from plnlp_tpu.cli import prepare_experiment
+    from plnlp_tpu.ops.tile_spmm import HybridGraph
+
+    lines = []
+    exp = prepare_experiment(
+        _args(
+            data_name="synthetic:hits-sbm",
+            adj_backend="auto",
+            dense_threshold=10,
+            tile_size=64,
+            tile_min_fill=16,
+        ),
+        log=lines.append,
+    )
+    assert isinstance(exp["graph"], HybridGraph)
+    decision = [l for l in map(str, lines) if "auto backend" in l]
+    assert decision and "-> hybrid" in decision[0], lines
+
+
+def test_auto_backend_multichip_picks_tiled_partition():
+    """adj_backend=auto with --num_shards: high estimated coverage turns
+    the dense-tile sets on inside the partition (pg.tile > 0); the
+    TRANSFORMER encoder stays on the plain partitioned CSR (the
+    partitioned attention needs the full per-edge structure)."""
+    from plnlp_tpu.cli import prepare_experiment
+
+    common = dict(
+        data_name="synthetic:hits-sbm",
+        adj_backend="auto",
+        dense_threshold=10,
+        tile_size=64,
+        tile_min_fill=4,
+        num_shards=2,
+    )
+    lines = []
+    exp = prepare_experiment(_args(**common), log=lines.append)
+    assert exp["graph"].pg.tile > 0
+    assert any("-> hybrid" in str(l) for l in lines), lines
+
+    exp_t = prepare_experiment(
+        _args(encoder="TRANSFORMER", **common), log=lambda *_: None
+    )
+    assert exp_t["graph"].pg.tile == 0
+
+
+def test_auto_backend_hybrid_runs_end_to_end():
+    """A 1-epoch training run completes on the auto-chosen hybrid backend
+    (the order computed by the estimator is reused by build_hybrid)."""
+    loggers = run_experiment(
+        _args(
+            data_name="synthetic:hits-sbm",
+            adj_backend="auto",
+            dense_threshold=10,
+            tile_size=64,
+            tile_min_fill=16,
+            epochs=1,
+        ),
+        log=lambda *_: None,
+    )
+    assert "Hits@20" in loggers
 
 
 def test_profile_dir_cli(tmp_path):

@@ -662,3 +662,52 @@ def test_multilevel_coverage_not_worse_than_labelprop():
     cov_lp = coverage(label_prop_order(s, d, n))
     cov_ml = coverage(multilevel_order(s, d, n))
     assert cov_ml >= cov_lp - 0.01, (cov_ml, cov_lp)
+
+
+def test_estimate_hybrid_matches_build(rng):
+    """estimate_hybrid predicts EXACTLY what build_hybrid then builds
+    (same coverage, same tile count) and its order, passed back via
+    build_hybrid(order=...), reproduces the full structure bit-for-bit."""
+    from plnlp_tpu.data.synthetic import make_sbm_graph
+    from plnlp_tpu.ops.tile_spmm import estimate_hybrid
+
+    n = 600
+    src, dst = make_sbm_graph(rng, n, 4000, num_communities=20)
+    est = estimate_hybrid(
+        src, dst, num_nodes=n, tile=32, min_fill=8, reorder="labelprop"
+    )
+    assert 0.0 < est["coverage"] <= 1.0 and est["order"] is not None
+    hg = build_hybrid(
+        src, dst, None, num_nodes=n, tile=32, min_fill=8, block=(8, 32),
+        reorder="labelprop",
+    )
+    total = hg.dense_edges + hg.res_edges
+    assert est["num_edges"] == total
+    assert est["num_tiles"] == hg.num_tiles
+    assert est["coverage"] == pytest.approx(hg.dense_edges / total)
+    hg2 = build_hybrid(
+        src, dst, None, num_nodes=n, tile=32, min_fill=8, block=(8, 32),
+        reorder="labelprop", order=est["order"],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hg.tile_vals), np.asarray(hg2.tile_vals)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hg.perm_in), np.asarray(hg2.perm_in)
+    )
+    assert hg2.dense_edges == hg.dense_edges
+
+
+def test_estimate_hybrid_low_on_random_graph(rng):
+    """A sparse uniform-random graph has no community structure for the
+    reorder to recover: estimated coverage stays far below the auto
+    threshold (this is the power-law/random kill-list regime)."""
+    from plnlp_tpu.ops.tile_spmm import estimate_hybrid
+
+    n, e = 4000, 6000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    est = estimate_hybrid(
+        src, dst, num_nodes=n, tile=16, min_fill=8, reorder="labelprop"
+    )
+    assert est["coverage"] < 0.3, est
