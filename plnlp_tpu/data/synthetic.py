@@ -85,10 +85,17 @@ def make_synthetic_dataset(
     seed: int = 0,
     weighted: bool = False,
     with_year: bool = False,
+    num_communities: int = 50,
 ) -> Dict:
     rng = np.random.default_rng(seed)
     if kind.endswith("-sbm") or kind == "sbm":
-        src, dst = make_sbm_graph(rng, num_nodes, num_edges)
+        # num_communities controls the community SCALE (nodes/community =
+        # num_nodes/num_communities) — the knob that decides whether the
+        # dense-tile hybrid backend has tiles to find (see ops/tile_spmm.py);
+        # reachable from the CLI spec: synthetic:hits-sbm:...,num_communities=800
+        src, dst = make_sbm_graph(
+            rng, num_nodes, num_edges, num_communities=num_communities
+        )
         kind = "mrr" if kind.startswith("mrr") else "hits"
     else:
         src, dst = make_skewed_graph(rng, num_nodes, num_edges)

@@ -14,12 +14,24 @@ BOTH partial sets, so the combine is two-pass (flash-attention style):
            den[row] = Σ_tiles exp(S−m)    +  Σ_res exp(s−m)
   out     = num / den  (+ the skip projection)
 
-Both passes stream tile chunks through jax.lax.scan with a rematerialized
-body — the (nt, T, T) score tensor never materializes in full, in either
-direction (the backward recomputes each chunk's scores).  XLA autodiff
-handles the backward: every op in the body is a batched matmul, gather of
-contiguous (T, D) blocks, or segment/scatter-add whose VJP is the same
-class — no per-edge feature scatters appear.
+Two implementations share the residual/merge machinery:
+
+* **Flash path (TPU, the default)** — fused Pallas kernels
+  (ops/pallas_attention.py) with a hand-written VJP: ONE sweep over the
+  row-sorted tiles with an online softmax in VMEM (running max /
+  denominator / numerator, one HBM write per row tile), backward as two
+  sweeps (dQ over the row-sorted set, dK/dV over the transposed
+  col-sorted set) recomputing scores per tile with the flash `delta =
+  sum(g*y)` trick folding in the softmax Jacobian.  No score tensor and
+  no gathered (C, T, D) copies ever touch HBM.
+* **Scan fallback (non-TPU / odd tile sizes)** — the two-pass structure
+  below: pass A computes the global row max, pass B exp-accumulates;
+  tile chunks stream through jax.lax.scan with a rematerialized body so
+  the (nt, T, T) score tensor never materializes in full, in either
+  direction.  XLA autodiff handles the backward: every op in the body
+  is a batched matmul, gather of contiguous (T, D) blocks, or
+  segment/scatter-add whose VJP is the same class — no per-edge feature
+  scatters appear.
 
 Semantics match reference TransformerConv (layer.py:57-63 via PyG):
 adjacency VALUES are ignored (the reference strips them, main.py:184-186)
@@ -31,12 +43,15 @@ HybridGraph (--adj_backend=hybrid).
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
 import jax.numpy as jnp
 
 from plnlp_tpu.graph import _pad_to
+from plnlp_tpu.ops import pallas_attention as _pa
+from plnlp_tpu.ops.spmm import _zero_cotangent
 
 __all__ = ["hybrid_transformer_conv"]
 
@@ -66,6 +81,205 @@ def _chunked_tiles(hg):
     )
 
 
+# ---------------------------------------------------------------------------
+# Flash path: fused Pallas kernels (ops/pallas_attention.py) with a
+# hand-written VJP.  The scan path below stays as the non-TPU fallback
+# (and the parity oracle for the kernel tests).
+# ---------------------------------------------------------------------------
+
+
+def _flash_supported(hg, d: int) -> bool:
+    return hg.num_tiles > 0 and _pa.attention_pallas_supported(
+        hg.tile, d + (-d % 128)
+    )
+
+
+def _res_partials(hg, q, k, v, scale):
+    """Per-edge residual softmax partials (f32): validity mask, logits,
+    the gathered sender values, and the per-row max.  k and v ride ONE
+    two-wide gather at the shared sender indices — the XLA row gather is
+    row-RATE bound, flat in width (RESULTS.md), so the fusion halves the
+    sender-side gather cost."""
+    n = hg.num_nodes
+    g = hg.res_graph
+    if g is None:
+        return None, None, None, jnp.full((n,), -jnp.inf, jnp.float32)
+    D = q.shape[1]
+    valid = g.edge_weight != 0
+    kv = jnp.concatenate([k, v], axis=-1)[g.senders].astype(jnp.float32)
+    k_s, v_s = kv[:, :D], kv[:, D:]
+    logits = (
+        jnp.sum(q[g.receivers].astype(jnp.float32) * k_s, axis=-1) * scale
+    )
+    m_res = jax.ops.segment_max(
+        jnp.where(valid, logits, -jnp.inf),
+        g.receivers,
+        num_segments=n,
+        indices_are_sorted=True,
+    )
+    return valid, logits, v_s, m_res
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_attn(scale, hg, q, k, v):
+    """Softmax-normalized attention aggregation y (n, D) f32 over the
+    union of tile edges (flash kernels) and residual per-edge set
+    (segment ops); D is the lane-padded feature width."""
+    return _flash_attn_fwd(scale, hg, q, k, v)[0]
+
+
+def _flash_attn_fwd(scale, hg, q, k, v):
+    n, T = hg.num_nodes, hg.tile
+    D = q.shape[1]
+    n_pad = _pad_to(n, T)
+    nR = n_pad // T
+
+    def tiles(a):
+        return jnp.pad(a, ((0, n_pad - n), (0, 0))).reshape(nR, T, D)
+
+    Qp, Kp, Vp = tiles(q), tiles(k), tiles(v)
+    num, den_l, m_l = _pa.flash_tiles_fwd(
+        hg.tile_vals, hg.tile_row, hg.tile_col, Qp, Kp, Vp, nR, scale
+    )
+    num = num[:n]
+    den_t = den_l[:n, 0]
+    m_t = m_l[:n, 0]
+    if hg.row_mask is not None:
+        # uncovered row tiles hold undefined kernel output
+        rm = jnp.repeat(hg.row_mask, T)[:n]
+        num = jnp.where(rm[:, None], num, 0.0)
+        den_t = jnp.where(rm, den_t, 0.0)
+        m_t = jnp.where(rm, m_t, -jnp.inf)
+
+    valid, logits, v_s, m_res = _res_partials(hg, q, k, v, scale)
+    M = jnp.maximum(m_t, m_res)
+    M = jnp.where(jnp.isfinite(M), M, 0.0)  # isolated rows: exp(x-0) unused
+    r = jnp.exp(m_t - M)  # m_t = -inf (no tile edge in row) -> 0
+    den = den_t * r
+    num = num * r[:, None]
+    g = hg.res_graph
+    if g is not None:
+        ex = jnp.where(valid, jnp.exp(logits - M[g.receivers]), 0.0)
+        den = den + jax.ops.segment_sum(
+            ex, g.receivers, num_segments=n, indices_are_sorted=True
+        )
+        num = num + jax.ops.segment_sum(
+            v_s * ex[:, None],
+            g.receivers,
+            num_segments=n,
+            indices_are_sorted=True,
+        )
+    den = jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
+    y = num / den[:, None]
+    return y, (hg, Qp, Kp, Vp, M, den, y)
+
+
+def _flash_attn_bwd(scale, res, gy):
+    hg, Qp, Kp, Vp, M, den, y = res
+    n, T = hg.num_nodes, hg.tile
+    nR, _, D = Qp.shape
+    n_pad = nR * T
+    cdt = Qp.dtype
+    gy = gy.astype(jnp.float32)
+    delta = jnp.sum(gy * y, axis=-1)  # the flash trick: sum_d g*y per row
+    Gp = jnp.pad(gy.astype(cdt), ((0, n_pad - n), (0, 0))).reshape(nR, T, D)
+
+    # per-row stats: one (n, 3) array serves the residual gathers below
+    # AND (padded) the two layouts the kernels consume.  Padding rows
+    # (>= n) get den=1: their alpha is 0/1 = 0 instead of 0/0 = nan, which
+    # matters in the dkv kernel where nan destination COLUMNS would poison
+    # every accumulator row through the (src,dst)@(dst,D) matmul.
+    pad_n = n_pad - n
+    stat3 = jnp.stack([M, den, delta], axis=1)  # (n, 3)
+    stat = jnp.pad(stat3, ((0, pad_n), (0, 0)))
+    stat = stat.at[n:, 1].set(1.0) if pad_n else stat
+    mdd = jnp.pad(stat, ((0, 0), (0, _pa._LANE - 3)))
+    mdd_t = (
+        jnp.pad(stat, ((0, 0), (0, 8 - 3)))
+        .reshape(nR, T, 8)
+        .transpose(0, 2, 1)
+        .reshape(nR * 8, T)
+    )
+
+    dq = _pa.flash_tiles_dq(
+        hg.tile_vals, hg.tile_row, hg.tile_col, Qp, Kp, Vp, Gp, mdd, nR, scale
+    )
+    dk, dv = _pa.flash_tiles_dkv(
+        hg.tile_vals_t, hg.tile_row_t, hg.tile_col_t, Qp, Kp, Vp, Gp, mdd_t,
+        nR, scale,
+    )
+    if hg.row_mask is not None:
+        dq = jnp.where(jnp.repeat(hg.row_mask, T)[:, None], dq, 0.0)
+    if hg.row_mask_t is not None:
+        rmt = jnp.repeat(hg.row_mask_t, T)[:, None]
+        dk = jnp.where(rmt, dk, 0.0)
+        dv = jnp.where(rmt, dv, 0.0)
+    dq, dk, dv = dq[:n], dk[:n], dv[:n]
+
+    g, gt = hg.res_graph, hg.res_graph_t
+    if g is not None:
+        # FUSED residual gathers (row gathers are row-rate bound, flat in
+        # width): k‖v at sender indices, q‖gy at receiver indices, and the
+        # (M, den, delta) stats as one 3-wide gather — 4 feature + 2 stat
+        # gathers total instead of 15 single ones.  gy rides in the
+        # compute dtype, matching the kernel side (Gp is cdt too).
+        qn = Qp.reshape(n_pad, D)[:n]
+        kvc = jnp.concatenate(
+            [Kp.reshape(n_pad, D)[:n], Vp.reshape(n_pad, D)[:n]], axis=-1
+        )
+        qgc = jnp.concatenate([qn, gy.astype(cdt)], axis=-1)
+        # dq: edges in destination-sorted order (res_graph)
+        valid = g.edge_weight != 0
+        kv_s = kvc[g.senders].astype(jnp.float32)
+        k_s, v_s = kv_s[:, :D], kv_s[:, D:]
+        qg_r = qgc[g.receivers].astype(jnp.float32)
+        q_r, gy_r = qg_r[:, :D], qg_r[:, D:]
+        st_r = stat3[g.receivers]
+        logits = jnp.sum(q_r * k_s, axis=-1) * scale
+        al = jnp.where(valid, jnp.exp(logits - st_r[:, 0]), 0.0) / st_r[:, 1]
+        dav = jnp.sum(gy_r * v_s, axis=-1)
+        ds = al * (dav - st_r[:, 2]) * scale
+        dq = dq + jax.ops.segment_sum(
+            ds[:, None] * k_s,
+            g.receivers,
+            num_segments=n,
+            indices_are_sorted=True,
+        )
+        # dk/dv: the SAME edges in source-sorted order (res_graph_t:
+        # senders = original dst, receivers = original src)
+        validt = gt.edge_weight != 0
+        qg_t = qgc[gt.senders].astype(jnp.float32)
+        q_t, gy_t = qg_t[:, :D], qg_t[:, D:]
+        kv_t = kvc[gt.receivers].astype(jnp.float32)
+        k_t, v_t = kv_t[:, :D], kv_t[:, D:]
+        st_t = stat3[gt.senders]
+        logits_t = jnp.sum(q_t * k_t, axis=-1) * scale
+        alt = (
+            jnp.where(validt, jnp.exp(logits_t - st_t[:, 0]), 0.0)
+            / st_t[:, 1]
+        )
+        davt = jnp.sum(gy_t * v_t, axis=-1)
+        dst_ = alt * (davt - st_t[:, 2]) * scale
+        dk = dk + jax.ops.segment_sum(
+            dst_[:, None] * q_t,
+            gt.receivers,
+            num_segments=n,
+            indices_are_sorted=True,
+        )
+        dv = dv + jax.ops.segment_sum(
+            alt[:, None] * gy_t,
+            gt.receivers,
+            num_segments=n,
+            indices_are_sorted=True,
+        )
+
+    zero_hg = jax.tree_util.tree_map(_zero_cotangent, hg)
+    return (zero_hg, dq.astype(cdt), dk.astype(cdt), dv.astype(cdt))
+
+
+_flash_attn.defvjp(_flash_attn_fwd, _flash_attn_bwd)
+
+
 def hybrid_transformer_conv(lp, hg, x):
     """One TransformerConv layer over a HybridGraph; x is (num_nodes, D_in)
     in ORIGINAL node ids (the internal labelprop relabel rides perm_in/out
@@ -83,6 +297,21 @@ def hybrid_transformer_conv(lp, hg, x):
     k = linear(lp["lin_key"], xs)
     v = linear(lp["lin_value"], xs)
     scale = 1.0 / math.sqrt(d)
+
+    if _flash_supported(hg, d):
+        # fused flash kernels + hand VJP; odd feature dims pad to the
+        # 128-lane boundary (zero columns do not change q.k logits, and
+        # the padded y columns are sliced off)
+        dpad = -d % 128
+        if dpad:
+            q, k, v = (
+                jnp.pad(a, ((0, 0), (0, dpad))) for a in (q, k, v)
+            )
+        y = _flash_attn(scale, hg, q, k, v)
+        out = y[:, :d].astype(x.dtype) + linear(lp["lin_skip"], xs)
+        if hg.perm_out is not None:
+            out = out[hg.perm_out]
+        return out
 
     T = hg.tile
     n_pad = _pad_to(n, T)
