@@ -115,7 +115,11 @@ def argument(argv=None):
         "rides the gather wall, tile pass ~9 ms at 85%% coverage) "
         "breaks even near ~0.25-0.3 and is a clear win by 0.5; "
         "power-law graphs estimate <<0.5 and stay on blocked CSR "
-        "(the round-3 kill list)",
+        "(the round-3 kill list).  With --num_shards>1 the estimate is "
+        "a GLOBAL single-shard proxy: the multichip build tiles per "
+        "shard after the equal-edge range split, which can cut "
+        "communities at shard boundaries, so actual per-shard coverage "
+        "may land somewhat below the estimate near the threshold",
     )
     parser.add_argument(
         "--tile_min_fill", type=int, default=96,
@@ -433,10 +437,14 @@ def prepare_experiment(args, log=print, serving=False):
     backend = args.adj_backend
     auto_order = None
     if backend == "auto" and not use_dense:
-        if num_shards > 1 and args.encoder.upper() == "TRANSFORMER":
-            # the tiled partition keeps only residual edges in the
-            # per-edge structure the partitioned attention needs
+        if serving:
+            # Serving computes h once per restore (serve.Scorer caches the
+            # encode), so the aggregation backend's throughput is
+            # irrelevant — skip the ~1-20 s reorder sweep the estimator
+            # costs at collab scale and take blocked CSR.
             backend = "csr"
+            log("auto backend: serving mode -> csr (encode runs once; "
+                "estimator skipped)")
         else:
             from plnlp_tpu.ops.tile_spmm import estimate_hybrid
 
@@ -450,10 +458,12 @@ def prepare_experiment(args, log=print, serving=False):
             )
             thr = getattr(args, "tile_auto_coverage", 0.5)
             backend = "hybrid" if est["coverage"] >= thr else "csr"
-            if backend == "hybrid" and num_shards <= 1:
-                # single-shard build_hybrid reuses the estimator's order;
-                # the tiled partition computes its own slot assignment
-                # (community-contiguous AND equal-edge, partition.py)
+            if backend == "hybrid":
+                # both consumers reuse the estimator's order: single-shard
+                # build_hybrid relabels by it directly; the tiled partition
+                # feeds it to assign_slots (which adds the equal-edge
+                # contiguous-range split on top) — either way the reorder
+                # sweep runs once.
                 auto_order = est["order"]
             log(
                 f"auto backend: estimated tile coverage "
@@ -462,14 +472,10 @@ def prepare_experiment(args, log=print, serving=False):
                 f"/min_fill={getattr(args, 'tile_min_fill', 384)}, "
                 f"threshold {thr:.0%}) -> {backend}"
             )
+    # hybrid x multi-chip composes with ALL encoders: TRANSFORMER runs the
+    # distributed block-sparse flash attention (parallel.tile_transformer)
+    # over the per-shard tile sets + blocked residual (round 5).
     hybrid_multichip = num_shards > 1 and backend == "hybrid"
-    if hybrid_multichip and args.encoder.upper() == "TRANSFORMER":
-        raise SystemExit(
-            "--adj_backend=hybrid with --num_shards does not support the "
-            "TRANSFORMER encoder (the tiled partition keeps only residual "
-            "edges in the per-edge structure the partitioned attention "
-            "needs); drop --num_shards or use --adj_backend=csr"
-        )
     mesh_data = getattr(args, "mesh_data", 1) or 1
     if num_shards > 1 or mesh_data > 1:
         from plnlp_tpu.parallel import make_mesh
@@ -502,6 +508,7 @@ def prepare_experiment(args, log=print, serving=False):
             tile=getattr(args, "tile_size", 512) if hybrid_multichip else 0,
             min_fill=getattr(args, "tile_min_fill", 384),
             tile_dtype=getattr(args, "compute_dtype", "float32"),
+            order=auto_order,
             log=log,
         )
         pg = graph.pg

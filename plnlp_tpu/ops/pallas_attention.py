@@ -88,8 +88,7 @@ def _fwd_kernel(
     k_ref,
     v_ref,
     num_ref,
-    den_ref,
-    m_ref,
+    stats_ref,
     acc_num,
     acc_den,
     acc_m,
@@ -127,8 +126,13 @@ def _fwd_kernel(
     @pl.when(is_last)
     def _():
         num_ref[:] = acc_num[:]
-        den_ref[:] = acc_den[:]
-        m_ref[:] = acc_m[:]
+        # pack den (col 0) and m (col 1) into ONE lane-width output — the
+        # accumulators are lane-replicated, so a column select is free and
+        # halves the per-node stats HBM (ADVICE r4)
+        col = jax.lax.broadcasted_iota(jnp.int32, acc_den.shape, 1)
+        stats_ref[:] = jnp.where(
+            col == 0, acc_den[:], jnp.where(col == 1, acc_m[:], 0.0)
+        )
 
 
 @functools.partial(
@@ -146,9 +150,15 @@ def flash_tiles_fwd(
     interpret: bool = False,
 ):
     """Tile-local softmax partials: returns (num (nR*T, D) f32,
-    den (nR*T, LANE) f32, m (nR*T, LANE) f32) — den/m replicated across
-    lanes, column 0 is the value.  Row tiles not covered by any tile hold
-    UNDEFINED content; callers mask with HybridGraph.row_mask."""
+    stats (nR*T, LANE) f32) — stats col 0 = den, col 1 = m, remaining
+    lanes zero.  Row tiles not covered by any tile hold UNDEFINED
+    content; callers mask with HybridGraph.row_mask.
+
+    HBM for stats is LANE-padded: 512 B/node fwd (this buffer) plus
+    512 B/node bwd (the caller's (n_pad, LANE) mdd) — ~1 KB/node total,
+    fine at collab scale (235k nodes -> ~0.25 GB) but a real budget line
+    at 1e8+ nodes; revisit the packing before using the flash path
+    there."""
     nt, T, _ = vals.shape
     D = q_tiles.shape[-1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -163,7 +173,6 @@ def flash_tiles_fwd(
         out_specs=[
             pl.BlockSpec((T, D), lambda i, tr, tc: (tr[i], 0)),
             pl.BlockSpec((T, _LANE), lambda i, tr, tc: (tr[i], 0)),
-            pl.BlockSpec((T, _LANE), lambda i, tr, tc: (tr[i], 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((T, D), jnp.float32),
@@ -176,7 +185,6 @@ def flash_tiles_fwd(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_rowtiles * T, D), jnp.float32),
-            jax.ShapeDtypeStruct((n_rowtiles * T, _LANE), jnp.float32),
             jax.ShapeDtypeStruct((n_rowtiles * T, _LANE), jnp.float32),
         ],
         interpret=interpret,

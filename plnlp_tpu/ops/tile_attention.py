@@ -138,12 +138,12 @@ def _flash_attn_fwd(scale, hg, q, k, v):
         return jnp.pad(a, ((0, n_pad - n), (0, 0))).reshape(nR, T, D)
 
     Qp, Kp, Vp = tiles(q), tiles(k), tiles(v)
-    num, den_l, m_l = _pa.flash_tiles_fwd(
+    num, stats_l = _pa.flash_tiles_fwd(
         hg.tile_vals, hg.tile_row, hg.tile_col, Qp, Kp, Vp, nR, scale
     )
     num = num[:n]
-    den_t = den_l[:n, 0]
-    m_t = m_l[:n, 0]
+    den_t = stats_l[:n, 0]
+    m_t = stats_l[:n, 1]
     if hg.row_mask is not None:
         # uncovered row tiles hold undefined kernel output
         rm = jnp.repeat(hg.row_mask, T)[:n]

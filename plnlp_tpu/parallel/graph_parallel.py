@@ -123,6 +123,7 @@ def make_graph_parallel(
     min_fill: Optional[int] = None,  # default: ~0.15% of tile area
     tile_dtype="float32",
     max_tile_bytes: int = 2 * 1024**3,
+    order=None,
     log=None,
 ) -> GraphParallel:
     """``tile`` > 0 composes the hybrid dense-tile SpMM with the partition
@@ -153,6 +154,7 @@ def make_graph_parallel(
         min_fill=min_fill,
         tile_dtype=tile_dtype,
         max_tile_bytes=max_tile_bytes,
+        order=order,
     )
     if comm == "auto":
         comm = choose_comm(pg, latency_rows)
@@ -676,11 +678,13 @@ def partitioned_transformer_conv(gp: GraphParallel, lp, x: jnp.ndarray):
     asserted in tests/test_graph_parallel.py on 2/4/8 shards."""
     pg = gp.pg
     if pg.tile:
-        raise ValueError(
-            "TransformerConv needs the full per-edge blocked structure; "
-            "tiled partitions (tile > 0) carry only residual edges there — "
-            "partition without tiles for the TRANSFORMER encoder"
+        # tiled partition: shard-local block-sparse flash sweeps over the
+        # per-shard tile sets + blocked residual (parallel.tile_transformer)
+        from plnlp_tpu.parallel.tile_transformer import (
+            partitioned_tile_transformer_conv,
         )
+
+        return partitioned_tile_transformer_conv(gp, lp, x)
     if x.shape[0] < pg.padded_nodes:
         x = jnp.pad(x, ((0, pg.padded_nodes - x.shape[0]), (0, 0)))
     out = _ptc(pg, lp, x, gp.mesh)

@@ -405,6 +405,7 @@ def assign_slots(
     R: int,
     reorder: str,
     cap_factor: float = 1.5,
+    order=None,
 ):
     """Node → slot assignment.  Returns (node_map | None, rows_per_shard,
     resolved_mode): ``node_map[g] = slot``; None means the identity layout
@@ -464,14 +465,20 @@ def assign_slots(
         # assignment the multi-chip HYBRID backend needs — same-community
         # nodes share a shard AND stay contiguous within it, so the dense
         # diagonal tiles survive the partition (ops/tile_spmm); multilevel
-        # adds the coarse-graph merge pass (fragmented-community graphs)
-        from plnlp_tpu.ops.tile_spmm import label_prop_order, multilevel_order
+        # adds the coarse-graph merge pass (fragmented-community graphs).
+        # A caller-supplied ``order`` (e.g. estimate_hybrid's, threaded
+        # through --adj_backend=auto) skips the sweep entirely.
+        if order is None:
+            from plnlp_tpu.ops.tile_spmm import (
+                label_prop_order,
+                multilevel_order,
+            )
 
-        order = (
-            multilevel_order(es, ed, num_nodes)
-            if reorder == "multilevel"
-            else label_prop_order(es, ed, num_nodes)
-        )
+            order = (
+                multilevel_order(es, ed, num_nodes)
+                if reorder == "multilevel"
+                else label_prop_order(es, ed, num_nodes)
+            )
     elif reorder == "edges":
         order = np.arange(num_nodes, dtype=np.int64)
     else:
@@ -547,6 +554,7 @@ def partition_graph(
     min_fill: Optional[int] = None,
     tile_dtype="float32",
     max_tile_bytes: int = 2 * 1024**3,
+    order=None,
 ) -> PartitionedGraph:
     """``tile`` > 0 composes the hybrid dense-tile SpMM (ops/tile_spmm) with
     the partition: tiles clearing ``min_fill`` run as per-shard MXU matmuls
@@ -564,7 +572,8 @@ def partition_graph(
     ew = csr["edge_weight"][:e]
 
     node_map, rows_per_shard, resolved = assign_slots(
-        es, ed, num_nodes, num_shards, align, reorder, cap_factor
+        es, ed, num_nodes, num_shards, align, reorder, cap_factor,
+        order=order,
     )
     if node_map is not None:
         es = node_map[es].astype(np.int64)

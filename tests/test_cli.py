@@ -300,9 +300,9 @@ def test_auto_backend_picks_hybrid_on_community_graph():
 
 def test_auto_backend_multichip_picks_tiled_partition():
     """adj_backend=auto with --num_shards: high estimated coverage turns
-    the dense-tile sets on inside the partition (pg.tile > 0); the
-    TRANSFORMER encoder stays on the plain partitioned CSR (the
-    partitioned attention needs the full per-edge structure)."""
+    the dense-tile sets on inside the partition (pg.tile > 0) — for ALL
+    encoders since round 5: TRANSFORMER runs the distributed block-sparse
+    attention over the per-shard tile sets (parallel.tile_transformer)."""
     from plnlp_tpu.cli import prepare_experiment
 
     common = dict(
@@ -321,7 +321,7 @@ def test_auto_backend_multichip_picks_tiled_partition():
     exp_t = prepare_experiment(
         _args(encoder="TRANSFORMER", **common), log=lambda *_: None
     )
-    assert exp_t["graph"].pg.tile == 0
+    assert exp_t["graph"].pg.tile > 0
 
 
 def test_auto_backend_hybrid_runs_end_to_end():
@@ -594,6 +594,33 @@ def test_mesh_data_indivisible_batch_falls_back():
             np.asarray(l3[k].results[0], np.float64),
             rtol=2e-3, atol=2e-3,
         )
+
+
+def test_num_shards_hybrid_transformer_matches_single_device():
+    """--adj_backend=hybrid --num_shards=2 --encoder=TRANSFORMER: the
+    distributed block-sparse attention (round 5, parallel.tile_transformer)
+    reachable from the product surface, with metrics matching the
+    single-device hybrid-attention CLI run."""
+    common = dict(
+        data_name="synthetic:hits-sbm:num_nodes=800,num_edges=8000",
+        encoder="TRANSFORMER",
+        adj_backend="hybrid",
+        tile_size=64,
+        tile_min_fill=4,
+        epochs=2,
+        seed=3,
+        batch_size=256,
+        block_rows=64,
+        block_edges=256,
+        dropout=0.0,
+    )
+    l1 = run_experiment(_args(**common), log=lambda *_: None)
+    l2 = run_experiment(_args(num_shards=2, **common), log=lambda *_: None)
+    for k in l1:
+        r1 = np.asarray(l1[k].results[0], np.float64)
+        r2 = np.asarray(l2[k].results[0], np.float64)
+        assert r1.shape == r2.shape and r1.size > 0
+        np.testing.assert_allclose(r1, r2, rtol=2e-3, atol=5e-3)
 
 
 def test_num_shards_halo_cli_smoke():

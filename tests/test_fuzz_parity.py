@@ -150,33 +150,35 @@ def test_fuzz_train_parity_across_backends(seed):
         comm=p_comm, reorder=p_reorder,
     )
 
-    # Fifth/sixth backends (non-TRANSFORMER configs): the hybrid dense-tile
-    # path, single-device and composed with the partition.  min_fill sweeps
-    # all-dense / mixed / all-residual across seeds.
-    extra = {}
-    if cfg.encoder != "TRANSFORMER":
-        from plnlp_tpu.ops.tile_spmm import build_hybrid
+    # Fifth/sixth backends: the hybrid dense-tile path, single-device and
+    # composed with the partition — ALL encoders, incl. TRANSFORMER
+    # (block-sparse attention single-device round 4; the distributed
+    # tiled-attention composition round 5).  min_fill sweeps all-dense /
+    # mixed / all-residual across seeds.
+    from plnlp_tpu.ops.tile_spmm import build_hybrid
 
-        h_fill = [1, 3, 10**9][seed % 3]
-        extra["hybrid"] = (
+    h_fill = [1, 3, 10**9][seed % 3]
+    extra = {
+        "hybrid": (
             build_hybrid(
                 src, dst, weights, num_nodes=n, symmetrize=False,
                 tile=16, min_fill=h_fill, block=(8, 16),
                 reorder="labelprop" if seed % 2 else None,
             ),
             None,
-        )
+        ),
         # 2 shards here: 8-shard tiled coverage lives in the dedicated
         # test_graph_parallel tests; an 8-way shard_map compile per fuzz
         # seed doubles the whole suite's wall time on CPU
-        extra["tiled-partitioned"] = (
+        "tiled-partitioned": (
             make_graph_parallel(
                 src, dst, weights, num_nodes=n,
                 mesh=make_mesh(data=1, node=2), block=(8, 16),
                 tile=16, min_fill=h_fill,
             ),
             None,
-        )
+        ),
+    }
 
     # identical batch stream for every backend
     use_margin = cfg.loss_func in (

@@ -733,10 +733,16 @@ def test_tiled_partition_rejects_halo_and_transformer(setup):
     )
     with pytest.raises(ValueError, match="all_gather"):
         with_halo(gp.pg)
-    from plnlp_tpu.parallel.graph_parallel import partitioned_transformer_conv
+    # the tiled-attention entry point conversely rejects UNTILED partitions
+    from plnlp_tpu.parallel.tile_transformer import (
+        partitioned_tile_transformer_conv,
+    )
 
-    with pytest.raises(ValueError, match="TransformerConv|blocked structure"):
-        partitioned_transformer_conv(gp, None, x)
+    gp_plain = make_graph_parallel(
+        src, dst, w, num_nodes=n, mesh=mesh, block=(8, 32),
+    )
+    with pytest.raises(ValueError, match="tiled partition"):
+        partitioned_tile_transformer_conv(gp_plain, None, x)
 
 
 def test_tiled_full_train_step_parity(setup, rng):
@@ -806,3 +812,115 @@ def test_tiled_partition_single_shard_still_reorders(rng):
         np.asarray(spmm_segment(g, x, "sum")),
         rtol=1e-4, atol=1e-5,
     )
+
+
+# --- round 5: distributed block-sparse attention over the tiled partition ---
+
+
+@pytest.mark.parametrize("shards", [2, 8])
+def test_tiled_partitioned_transformer_matches_single(setup, shards):
+    """TransformerConv over a TILED partition (shard-local flash/scan
+    sweeps + blocked residual, parallel.tile_transformer) == the
+    single-device encoder.  The softmax is exact: destination rows are
+    wholly owned, so tile+residual partials merge shard-locally."""
+    from plnlp_tpu.models.encoders import apply_encoder, init_encoder
+    from plnlp_tpu.parallel.graph_parallel import make_graph_parallel
+
+    n, d, src, dst, w, _, x = setup
+    # transformer strips edge values (main.py:184-186): unweighted graph
+    g = build_graph(src, dst, None, num_nodes=n)
+    params = init_encoder(jax.random.PRNGKey(0), "TRANSFORMER", d, 16, 2)
+    ref = apply_encoder(params, "TRANSFORMER", g, x)
+
+    mesh = make_mesh(data=1, node=shards)
+    gp = make_graph_parallel(
+        src, dst, None, num_nodes=n, mesh=mesh, block=(8, 32),
+        tile=16, min_fill=3,
+    )
+    assert gp.pg.tile == 16 and gp.pg.tile_dense_edges > 0
+    out = apply_encoder(params, "TRANSFORMER", gp, x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("shards", [2, 8])
+def test_tiled_partitioned_transformer_grad_matches_single(setup, shards):
+    """The hand VJP of the tiled attention (flash/scan dQ + transposed
+    dK/dV sweeps, stats all-gather, blocked residual accumulations) ==
+    single-device XLA autodiff for input features AND every parameter."""
+    from plnlp_tpu.models.encoders import apply_encoder, init_encoder
+    from plnlp_tpu.parallel.graph_parallel import make_graph_parallel
+
+    n, d, src, dst, w, _, x = setup
+    g = build_graph(src, dst, None, num_nodes=n)
+    params = init_encoder(jax.random.PRNGKey(0), "TRANSFORMER", d, 16, 2)
+    mesh = make_mesh(data=1, node=shards)
+    gp = make_graph_parallel(
+        src, dst, None, num_nodes=n, mesh=mesh, block=(8, 32),
+        tile=16, min_fill=3,
+    )
+    assert gp.pg.tile_dense_edges > 0
+    tgt = jnp.asarray(
+        np.random.default_rng(7).standard_normal((n, 16)), jnp.float32
+    )
+
+    def loss(graph_op):
+        def f(params, x):
+            h = apply_encoder(params, "TRANSFORMER", graph_op, x)
+            return jnp.sum((h - tgt) ** 2) + jnp.sum(jnp.sin(h))
+
+        return f
+
+    g1p, g1x = jax.grad(loss(g), argnums=(0, 1))(params, x)
+    g2p, g2x = jax.grad(loss(gp), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(
+        np.asarray(g2x), np.asarray(g1x), rtol=1e-3, atol=1e-4
+    )
+    flat1, _ = jax.tree_util.tree_flatten_with_path(g1p)
+    flat2 = jax.tree_util.tree_leaves(g2p)
+    assert len(flat1) == len(flat2)
+    for (path, a), b in zip(flat1, flat2):
+        scale = float(np.abs(np.asarray(a)).max())
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3,
+            atol=max(1e-4 * scale, 1e-6),
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_tiled_partitioned_transformer_extremes(setup):
+    """min_fill extremes: all edges tiled (empty residual) and all
+    residual (zero real tiles) both match the single-device encoder."""
+    from plnlp_tpu.models.encoders import apply_encoder, init_encoder
+    from plnlp_tpu.parallel.graph_parallel import make_graph_parallel
+
+    n, d, src, dst, w, _, x = setup
+    g = build_graph(src, dst, None, num_nodes=n)
+    params = init_encoder(jax.random.PRNGKey(0), "TRANSFORMER", d, 16, 2)
+    ref = apply_encoder(params, "TRANSFORMER", g, x)
+    mesh = make_mesh(data=1, node=2)
+    for mf, check in ((1, "dense"), (10**9, "residual")):
+        gp = make_graph_parallel(
+            src, dst, None, num_nodes=n, mesh=mesh, block=(8, 32),
+            tile=16, min_fill=mf,
+        )
+        out = apply_encoder(params, "TRANSFORMER", gp, x)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4,
+            err_msg=check,
+        )
+        gx = jax.grad(
+            lambda x: jnp.sum(
+                apply_encoder(params, "TRANSFORMER", gp, x) ** 2
+            )
+        )(x)
+        gx_ref = jax.grad(
+            lambda x: jnp.sum(
+                apply_encoder(params, "TRANSFORMER", g, x) ** 2
+            )
+        )(x)
+        np.testing.assert_allclose(
+            np.asarray(gx), np.asarray(gx_ref), rtol=1e-3, atol=1e-4,
+            err_msg=check,
+        )

@@ -236,17 +236,24 @@ def test_cli_hybrid_multichip_smoke():
     assert np.isfinite(res).all()
 
 
-def test_cli_hybrid_multichip_rejects_transformer():
-    import pytest as _pytest
-
+def test_cli_hybrid_multichip_transformer_runs():
+    """Round 5 closed the old reject: --adj_backend=hybrid --num_shards
+    --encoder=TRANSFORMER runs the distributed block-sparse attention
+    (parallel.tile_transformer) end-to-end from the CLI."""
     from plnlp_tpu.cli import argument, run_experiment
 
     argv = [
-        "--data_name=synthetic:hits", "--epochs=1", "--runs=1",
-        "--adj_backend=hybrid", "--num_shards=2", "--encoder=TRANSFORMER",
+        "--data_name=synthetic:hits-sbm:num_nodes=800,num_edges=8000",
+        "--epochs=1", "--eval_steps=1", "--runs=1", "--batch_size=512",
+        "--emb_hidden_channels=16", "--gnn_hidden_channels=16",
+        "--mlp_hidden_channels=16", "--adj_backend=hybrid",
+        "--num_shards=2", "--encoder=TRANSFORMER",
+        "--tile_size=64", "--tile_min_fill=4",
+        "--block_rows=8", "--block_edges=32",
     ]
-    with _pytest.raises(SystemExit, match="TRANSFORMER"):
-        run_experiment(argument(argv), log=lambda *_: None)
+    loggers = run_experiment(argument(argv), log=lambda *_: None)
+    res = np.asarray(loggers["Hits@50"].results[0])
+    assert np.isfinite(res).all()
 
 
 def test_hybrid_mean_uses_precomputed_degrees(rng):
