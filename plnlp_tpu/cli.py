@@ -108,18 +108,19 @@ def argument(argv=None):
         "clears --tile_auto_coverage, blocked CSR otherwise",
     )
     parser.add_argument(
-        "--tile_auto_coverage", type=float, default=0.5,
+        "--tile_auto_coverage", type=float, default=0.35,
         help="adj_backend=auto: minimum estimated dense-tile edge "
-        "coverage to choose the hybrid backend.  0.5 is conservative: "
-        "the measured hybrid time model (RESULTS.md round 4: residual "
-        "rides the gather wall, tile pass ~9 ms at 85%% coverage) "
-        "breaks even near ~0.25-0.3 and is a clear win by 0.5; "
-        "power-law graphs estimate <<0.5 and stay on blocked CSR "
-        "(the round-3 kill list).  With --num_shards>1 the estimate is "
-        "a GLOBAL single-shard proxy: the multichip build tiles per "
-        "shard after the equal-edge range split, which can cut "
-        "communities at shard boundaries, so actual per-shard coverage "
-        "may land somewhat below the estimate near the threshold",
+        "coverage to choose the hybrid backend.  Default 0.35 from the "
+        "round-5 chip A/B (RESULTS.md): hybrid still wins 1.13x at "
+        "0.40 measured coverage, and below ~0.4 the labelprop reorder "
+        "collapses on noisy graphs so estimates cliff to ~0 rather "
+        "than landing in 0.1-0.3 — power-law graphs estimate ~0 and "
+        "stay on blocked CSR (the round-3 kill list).  With "
+        "--num_shards>1 the estimate is a GLOBAL single-shard proxy: "
+        "the multichip build tiles per shard after the equal-edge "
+        "range split, which can cut communities at shard boundaries, "
+        "so actual per-shard coverage may land somewhat below the "
+        "estimate near the threshold",
     )
     parser.add_argument(
         "--tile_min_fill", type=int, default=96,
@@ -456,7 +457,7 @@ def prepare_experiment(args, log=print, serving=False):
                 min_fill=getattr(args, "tile_min_fill", 384),
                 reorder=getattr(args, "tile_reorder", "labelprop"),
             )
-            thr = getattr(args, "tile_auto_coverage", 0.5)
+            thr = getattr(args, "tile_auto_coverage", 0.35)
             backend = "hybrid" if est["coverage"] >= thr else "csr"
             if backend == "hybrid":
                 # both consumers reuse the estimator's order: single-shard

@@ -52,10 +52,32 @@ __all__ = [
     "flash_tiles_fwd",
     "flash_tiles_dq",
     "flash_tiles_dkv",
+    "pack_mdd",
+    "pack_mdd_t",
 ]
 
 _LANE = 128
 _NEG_INF = float("-inf")
+
+
+def pack_mdd(stat3):
+    """(n, 3) f32 rows of (m, den, delta) -> the (n, LANE) mdd layout
+    flash_tiles_dq consumes (cols 0/1/2, rest zero).  Single source of
+    the stats layout contract for both callers (tile_attention and
+    parallel.tile_transformer)."""
+    return jnp.pad(stat3, ((0, 0), (0, _LANE - 3)))
+
+
+def pack_mdd_t(stat3, T: int):
+    """(nR*T, 3) f32 stats -> the (nR*8, T) mdd_t layout flash_tiles_dkv
+    consumes: per row tile an (8, T) block whose rows 0/1/2 are m/den/
+    delta over the tile's T destination rows."""
+    return (
+        jnp.pad(stat3, ((0, 0), (0, 8 - 3)))
+        .reshape(-1, T, 8)
+        .transpose(0, 2, 1)
+        .reshape(-1, T)
+    )
 
 
 def attention_pallas_supported(tile: int, d: int) -> bool:

@@ -193,13 +193,8 @@ def _flash_attn_bwd(scale, res, gy):
     stat3 = jnp.stack([M, den, delta], axis=1)  # (n, 3)
     stat = jnp.pad(stat3, ((0, pad_n), (0, 0)))
     stat = stat.at[n:, 1].set(1.0) if pad_n else stat
-    mdd = jnp.pad(stat, ((0, 0), (0, _pa._LANE - 3)))
-    mdd_t = (
-        jnp.pad(stat, ((0, 0), (0, 8 - 3)))
-        .reshape(nR, T, 8)
-        .transpose(0, 2, 1)
-        .reshape(nR * 8, T)
-    )
+    mdd = _pa.pack_mdd(stat)
+    mdd_t = _pa.pack_mdd_t(stat, T)
 
     dq = _pa.flash_tiles_dq(
         hg.tile_vals, hg.tile_row, hg.tile_col, Qp, Kp, Vp, Gp, mdd, nR, scale

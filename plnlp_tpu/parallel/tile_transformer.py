@@ -42,7 +42,8 @@ Semantics: adjacency values are ignored (tile vals act as the edge mask),
 matching the reference's stripped adj_t (main.py:184-186).
 
 On non-TPU backends (the 8-fake-device CPU test mesh) the flash sweeps
-run as per-tile lax.scan fallbacks computing the same partials.
+run as vectorized batched-einsum fallbacks computing the same partials
+(deliberately scan-free: see the fallback section note).
 """
 
 from __future__ import annotations
@@ -66,147 +67,116 @@ _TINY = float(jnp.finfo(jnp.float32).tiny)
 
 
 # ---------------------------------------------------------------------------
-# Scan fallbacks (CPU mesh tests / odd tile sizes) — same partials as the
-# flash kernels, per-tile lax.scan instead of a Pallas sweep.
+# Vectorized fallbacks (CPU mesh tests / odd tile sizes) — same partials
+# as the flash kernels, batched einsums over ALL tiles at once.  NOT a
+# lax.scan: a scan inside the shard_map body breaks under jax.checkpoint's
+# eager replay ("closed_call inside shard_map" — hit by --remat configs in
+# the fuzz matrix).  Memory is (nt, T, T) scores — fine at the non-TPU
+# scales this path serves; the flash kernels carry production.
 # ---------------------------------------------------------------------------
 
 
-def _scan_fwd_partials(tv, tr, tc, Qp, Kp, Vp, nrl, scale):
+def _fallback_fwd_partials(tv, tr, tc, Qp, Kp, Vp, nrl, scale):
     """(num (nrl*T, D) f32, den (nrl*T,) f32, m (nrl*T,) f32)."""
     T = tv.shape[1]
     D = Qp.shape[-1]
-
-    def amax(m, c):
-        v, r, ci = c
-        s = (
-            jnp.einsum(
-                "td,ud->tu",
-                Qp[r].astype(jnp.float32),
-                Kp[ci].astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            )
-            * scale
+    s = (
+        jnp.einsum(
+            "ntd,nud->ntu",
+            Qp[tr].astype(jnp.float32),
+            Kp[tc].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
         )
-        s = jnp.where(v != 0, s, _NEG_INF)
-        return m.at[r].max(jnp.max(s, axis=1)), None
-
-    m, _ = jax.lax.scan(
-        amax, jnp.full((nrl, T), _NEG_INF, jnp.float32), (tv, tr, tc)
+        * scale
+    )
+    s = jnp.where(tv != 0, s, _NEG_INF)
+    m = jnp.full((nrl, T), _NEG_INF, jnp.float32).at[tr].max(
+        jnp.max(s, axis=2)
     )
     m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
-
-    def acc(carry, c):
-        den, num = carry
-        v, r, ci = c
-        s = (
-            jnp.einsum(
-                "td,ud->tu",
-                Qp[r].astype(jnp.float32),
-                Kp[ci].astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            )
-            * scale
+    p = jnp.where(tv != 0, jnp.exp(s - m_safe[tr][:, :, None]), 0.0)
+    den = jnp.zeros((nrl, T), jnp.float32).at[tr].add(jnp.sum(p, axis=2))
+    num = jnp.zeros((nrl, T, D), jnp.float32).at[tr].add(
+        jnp.einsum(
+            "ntu,nud->ntd",
+            p,
+            Vp[tc].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
         )
-        p = jnp.where(v != 0, jnp.exp(s - m_safe[r][:, None]), 0.0)
-        den = den.at[r].add(jnp.sum(p, axis=1))
-        num = num.at[r].add(
-            jnp.dot(
-                p,
-                Vp[ci].astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            )
-        )
-        return (den, num), None
-
-    (den, num), _ = jax.lax.scan(
-        acc,
-        (
-            jnp.zeros((nrl, T), jnp.float32),
-            jnp.zeros((nrl, T, D), jnp.float32),
-        ),
-        (tv, tr, tc),
     )
     return num.reshape(nrl * T, D), den.reshape(-1), m.reshape(-1)
 
 
-def _scan_dq(tv, tr, tc, Qp, Kp, Vp, Gp, stats, nrl, scale):
-    """dQ of the tile part via per-tile scan: (nrl*T, D) f32.  ``stats``
-    is (nrl*T, 3) f32 rows of (m, den, delta) for the LOCAL rows."""
+def _fallback_dq(tv, tr, tc, Qp, Kp, Vp, Gp, stats, nrl, scale):
+    """dQ of the tile part: (nrl*T, D) f32.  ``stats`` is (nrl*T, 3) f32
+    rows of (m, den, delta) for the LOCAL rows."""
     T = tv.shape[1]
     D = Qp.shape[-1]
-    st = stats.reshape(nrl, T, 3)
-
-    def step(acc, c):
-        v, r, ci = c
-        q = Qp[r].astype(jnp.float32)
-        k = Kp[ci].astype(jnp.float32)
-        s = (
-            jnp.einsum("td,ud->tu", q, k, preferred_element_type=jnp.float32)
-            * scale
-        )
-        mask = v != 0
-        al = jnp.where(mask, jnp.exp(s - st[r, :, 0:1]), 0.0) / st[r, :, 1:2]
-        dav = jnp.einsum(
-            "td,ud->tu",
-            Gp[r].astype(jnp.float32),
-            Vp[ci].astype(jnp.float32),
+    st = stats.reshape(nrl, T, 3)[tr]  # (nt, T, 3)
+    k = Kp[tc].astype(jnp.float32)
+    s = (
+        jnp.einsum(
+            "ntd,nud->ntu",
+            Qp[tr].astype(jnp.float32),
+            k,
             preferred_element_type=jnp.float32,
         )
-        ds = al * (dav - st[r, :, 2:3]) * scale
-        return (
-            acc.at[r].add(
-                jnp.dot(ds, k, preferred_element_type=jnp.float32)
-            ),
-            None,
-        )
-
-    acc, _ = jax.lax.scan(
-        step, jnp.zeros((nrl, T, D), jnp.float32), (tv, tr, tc)
+        * scale
     )
-    return acc.reshape(nrl * T, D)
+    al = jnp.where(tv != 0, jnp.exp(s - st[:, :, 0:1]), 0.0) / st[:, :, 1:2]
+    dav = jnp.einsum(
+        "ntd,nud->ntu",
+        Gp[tr].astype(jnp.float32),
+        Vp[tc].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    ds = al * (dav - st[:, :, 2:3]) * scale
+    return (
+        jnp.zeros((nrl, T, D), jnp.float32)
+        .at[tr]
+        .add(jnp.einsum("ntu,nud->ntd", ds, k, preferred_element_type=jnp.float32))
+        .reshape(nrl * T, D)
+    )
 
 
-def _scan_dkv(tvt, trt, tct, Qp_full, Kp, Vp, Gp_full, stats_full, nrl, scale):
+def _fallback_dkv(tvt, trt, tct, Qp_full, Kp, Vp, Gp_full, stats_full, nrl, scale):
     """dK/dV of the tile part via the transposed tile set: two (nrl*T, D)
     f32.  ``stats_full`` is (nC*T, 3) rows of (m, den, delta) for the
     GLOBAL destination rows; K/V tiles are the shard's local rows."""
     T = tvt.shape[1]
     D = Kp.shape[-1]
-    stf = stats_full.reshape(-1, T, 3)
-
-    def step(carry, c):
-        dk, dv = carry
-        v, r, ci = c  # r: local source tile; ci: global destination tile
-        k = Kp[r].astype(jnp.float32)
-        q = Qp_full[ci].astype(jnp.float32)
-        g = Gp_full[ci].astype(jnp.float32)
-        s_t = (
-            jnp.einsum("sd,cd->sc", k, q, preferred_element_type=jnp.float32)
-            * scale
-        )
-        mask_t = v != 0
-        al = (
-            jnp.where(mask_t, jnp.exp(s_t - stf[ci, :, 0][None, :]), 0.0)
-            / stf[ci, :, 1][None, :]
-        )
-        dav = jnp.einsum(
-            "sd,cd->sc",
-            Vp[r].astype(jnp.float32),
-            g,
+    stf = stats_full.reshape(-1, T, 3)[tct]  # (nt, Tdst, 3)
+    q = Qp_full[tct].astype(jnp.float32)
+    g = Gp_full[tct].astype(jnp.float32)
+    s_t = (
+        jnp.einsum(
+            "nsd,ncd->nsc",
+            Kp[trt].astype(jnp.float32),
+            q,
             preferred_element_type=jnp.float32,
         )
-        ds = al * (dav - stf[ci, :, 2][None, :]) * scale
-        dk = dk.at[r].add(jnp.dot(ds, q, preferred_element_type=jnp.float32))
-        dv = dv.at[r].add(jnp.dot(al, g, preferred_element_type=jnp.float32))
-        return (dk, dv), None
-
-    (dk, dv), _ = jax.lax.scan(
-        step,
-        (
-            jnp.zeros((nrl, T, D), jnp.float32),
-            jnp.zeros((nrl, T, D), jnp.float32),
-        ),
-        (tvt, trt, tct),
+        * scale
+    )
+    al = (
+        jnp.where(tvt != 0, jnp.exp(s_t - stf[:, None, :, 0]), 0.0)
+        / stf[:, None, :, 1]
+    )
+    dav = jnp.einsum(
+        "nsd,ncd->nsc",
+        Vp[trt].astype(jnp.float32),
+        g,
+        preferred_element_type=jnp.float32,
+    )
+    ds = al * (dav - stf[:, None, :, 2]) * scale
+    dk = (
+        jnp.zeros((nrl, T, D), jnp.float32)
+        .at[trt]
+        .add(jnp.einsum("nsc,ncd->nsd", ds, q, preferred_element_type=jnp.float32))
+    )
+    dv = (
+        jnp.zeros((nrl, T, D), jnp.float32)
+        .at[trt]
+        .add(jnp.einsum("nsc,ncd->nsd", al, g, preferred_element_type=jnp.float32))
     )
     return dk.reshape(nrl * T, D), dv.reshape(nrl * T, D)
 
@@ -249,7 +219,7 @@ def _fwd_impl(pg, lp, x, mesh):
             den_t, m_t = stats[:, 0], stats[:, 1]
             num = num[:, :d]
         else:
-            num, den_t, m_t = _scan_fwd_partials(
+            num, den_t, m_t = _fallback_fwd_partials(
                 tv[0], tr[0], tc[0], Qp, Kp, Vp, nrl, scale
             )
         if m_:
@@ -325,7 +295,6 @@ def _fwd_impl(pg, lp, x, mesh):
 def _bwd_impl(pg, lp, x, M, den, y, g, mesh):
     T, R, rows = pg.tile, pg.block_rows, pg.rows_per_shard
     nrl = rows // T
-    n_rb = rows // R
     d = lp["lin_query"]["w"].shape[1]
     scale = 1.0 / math.sqrt(d)
     dpad = -d % _LANE
@@ -348,12 +317,17 @@ def _bwd_impl(pg, lp, x, M, den, y, g, mesh):
 
         x_full = jax.lax.all_gather(x_blk, "node", axis=0, tiled=True)
         g_full = jax.lax.all_gather(g_blk, "node", axis=0, tiled=True)
-        q_blk = jnp.dot(x_blk, wq, preferred_element_type=cdt) + bq
-        k_blk = jnp.dot(x_blk, wk, preferred_element_type=cdt) + bk
-        v_blk = jnp.dot(x_blk, wv, preferred_element_type=cdt) + bv
         q_full = jnp.dot(x_full, wq, preferred_element_type=cdt) + bq
         k_full = jnp.dot(x_full, wk, preferred_element_type=cdt) + bk
         v_full = jnp.dot(x_full, wv, preferred_element_type=cdt) + bv
+        # local q/k/v are rows [idx*rows, (idx+1)*rows) of the full
+        # projections — slice instead of recomputing three matmuls
+        idx = jax.lax.axis_index("node")
+
+        def local(a):
+            return jax.lax.dynamic_slice_in_dim(a, idx * rows, rows)
+
+        q_blk, k_blk, v_blk = local(q_full), local(k_full), local(v_full)
 
         g32 = g_blk.astype(jnp.float32)
         delta_blk = jnp.sum(g32 * y_blk, axis=-1)  # flash delta trick
@@ -374,27 +348,22 @@ def _bwd_impl(pg, lp, x, M, den, y, g, mesh):
         Gp_f = tiles(g_full)
 
         if use_kernel:
-            mdd = jnp.pad(stats3, ((0, 0), (0, _LANE - 3)))
+            mdd = _pa.pack_mdd(stats3)
             dq_tile = _pa.flash_tiles_dq(
                 tv[0], tr[0], tc[0], Qp_l, Kp_f, Vp_f, Gp_l, mdd, nrl, scale
             )[:, :d]
-            mdd_t = (
-                jnp.pad(stats_full, ((0, 0), (0, 8 - 3)))
-                .reshape(-1, T, 8)
-                .transpose(0, 2, 1)
-                .reshape(-1, T)
-            )
+            mdd_t = _pa.pack_mdd_t(stats_full, T)
             dk_tile, dv_tile = _pa.flash_tiles_dkv(
                 tvt[0], trt[0], tct[0], Qp_f, Kp_l, Vp_l, Gp_f, mdd_t,
                 nrl, scale,
             )
             dk_tile, dv_tile = dk_tile[:, :d], dv_tile[:, :d]
         else:
-            dq_tile = _scan_dq(
+            dq_tile = _fallback_dq(
                 tv[0], tr[0], tc[0], Qp_l, Kp_f, Vp_f, Gp_l, stats3,
                 nrl, scale,
             )
-            dk_tile, dv_tile = _scan_dkv(
+            dk_tile, dv_tile = _fallback_dkv(
                 tvt[0], trt[0], tct[0], Qp_f, Kp_l, Vp_l, Gp_f,
                 stats_full, nrl, scale,
             )
@@ -413,7 +382,7 @@ def _bwd_impl(pg, lp, x, M, den, y, g, mesh):
         bs0, bw0, bl0, brb0 = bs[0], bw[0], bl[0], brb[0]
         dst_local = brb0[:, None] * R + bl0
         flat_dst = dst_local.reshape(-1)
-        valid = (bw0 != 0).reshape(-1).astype(jnp.float32)
+        valid = (bw0 != 0).reshape(-1)
         kv_e = jnp.concatenate([k_full, v_full], axis=-1)[
             bs0.reshape(-1)
         ].astype(jnp.float32)
@@ -421,7 +390,9 @@ def _bwd_impl(pg, lp, x, M, den, y, g, mesh):
         q_r = q_blk[flat_dst].astype(jnp.float32)
         st_r = stats3[flat_dst]  # (E, 3): m, den, delta at the dst row
         logits = jnp.sum(q_r * k_e, axis=-1) * scale
-        al = valid * jnp.exp(logits - st_r[:, 0]) / st_r[:, 1]
+        # where-guard BEFORE the exp: a padding edge's logit is unrelated
+        # to its slot-0 row's stats, and valid*inf would be NaN
+        al = jnp.where(valid, jnp.exp(logits - st_r[:, 0]), 0.0) / st_r[:, 1]
         dav = jnp.sum(g32[flat_dst] * v_e, axis=-1)
         ds = al * (dav - st_r[:, 2]) * scale
         dq_rows = (
@@ -437,7 +408,7 @@ def _bwd_impl(pg, lp, x, M, den, y, g, mesh):
         nbs0, nbw0, nbl0, nbrb0 = nbs[0], nbw[0], nbl[0], nbrb[0]
         dst_local_t = nbrb0[:, None] * R + nbl0  # local rows = orig src
         flat_src = dst_local_t.reshape(-1)
-        nvalid = (nbw0 != 0).reshape(-1).astype(jnp.float32)
+        nvalid = (nbw0 != 0).reshape(-1)
         qg_e = jnp.concatenate([q_full, g_full], axis=-1)[
             nbs0.reshape(-1)
         ].astype(jnp.float32)
@@ -446,7 +417,10 @@ def _bwd_impl(pg, lp, x, M, den, y, g, mesh):
         k_t = k_blk[flat_src].astype(jnp.float32)
         v_t = v_blk[flat_src].astype(jnp.float32)
         logits_t = jnp.sum(q_e * k_t, axis=-1) * scale
-        alt = nvalid * jnp.exp(logits_t - st_e[:, 0]) / st_e[:, 1]
+        alt = (
+            jnp.where(nvalid, jnp.exp(logits_t - st_e[:, 0]), 0.0)
+            / st_e[:, 1]
+        )
         davt = jnp.sum(g_e * v_t, axis=-1)
         ds_t = alt * (davt - st_e[:, 2]) * scale
         dk_rows = (

@@ -324,6 +324,67 @@ def test_auto_backend_multichip_picks_tiled_partition():
     assert exp_t["graph"].pg.tile > 0
 
 
+def test_auto_backend_threshold_boundary():
+    """The auto decision at the --tile_auto_coverage boundary (round-5
+    chip A/B: hybrid wins 1.13x at 0.40 measured coverage, so the
+    default is 0.35): an estimate just above the threshold picks
+    hybrid, just below picks csr — pinned by overriding the flag around
+    the same graph's estimate."""
+    from plnlp_tpu.cli import prepare_experiment
+    from plnlp_tpu.ops.tile_spmm import estimate_hybrid
+
+    common = dict(
+        data_name="synthetic:hits-sbm",
+        adj_backend="auto",
+        dense_threshold=10,
+        tile_size=64,
+        tile_min_fill=4,
+    )
+    # measure this graph's estimate once through the same estimator
+    from plnlp_tpu.data import load_dataset
+
+    a = _args(**common)
+    ds = load_dataset(a.data_name, a.data_path)
+    tr = ds["split_edge"]["train"]["edge"]
+    est = estimate_hybrid(
+        tr[:, 0], tr[:, 1], num_nodes=ds["num_nodes"], tile=64,
+        min_fill=4, symmetrize=True, reorder="labelprop",
+    )
+    assert est["coverage"] > 0.05  # SBM: meaningful coverage
+    lo, hi = est["coverage"] * 0.9, est["coverage"] * 1.1
+    exp = prepare_experiment(
+        _args(tile_auto_coverage=lo, **common), log=lambda *_: None
+    )
+    from plnlp_tpu.ops.tile_spmm import HybridGraph
+
+    assert isinstance(exp["graph"], HybridGraph)
+    exp2 = prepare_experiment(
+        _args(tile_auto_coverage=hi, **common), log=lambda *_: None
+    )
+    assert not isinstance(exp2["graph"], HybridGraph)
+
+
+def test_auto_backend_serving_skips_estimation():
+    """Serving mode resolves auto->csr without paying the reorder sweep
+    (the Scorer encodes once, so aggregation throughput is irrelevant)."""
+    from plnlp_tpu.cli import prepare_experiment
+
+    lines = []
+    exp = prepare_experiment(
+        _args(
+            data_name="synthetic:hits-sbm",
+            adj_backend="auto",
+            dense_threshold=10,
+        ),
+        log=lines.append,
+        serving=True,
+    )
+    from plnlp_tpu.ops.tile_spmm import HybridGraph
+
+    assert not isinstance(exp["graph"], HybridGraph)
+    assert any("serving mode -> csr" in str(l) for l in lines), lines
+
+
 def test_auto_backend_hybrid_runs_end_to_end():
     """A 1-epoch training run completes on the auto-chosen hybrid backend
     (the order computed by the estimator is reused by build_hybrid)."""
