@@ -211,6 +211,49 @@ def main():
     dt = (time.time() - t0) / iters
     headline_eps = num_edges * cfg.gnn_num_layers * 2 / dt
 
+    # bf16 variant of the same step (non-headline): the TPU-first compute
+    # dtype a production deployment runs (--compute_dtype=bfloat16); kept
+    # as a separate line so the f32 headline stays comparable to its
+    # round-1 anchor.  Quality under bf16 is covered by the fuzz suite's
+    # bf16-tracks-f32 tests.
+    import dataclasses as _dc
+
+    cfg16 = _dc.replace(cfg, compute_dtype="bfloat16")
+    model16 = Model(cfg16, num_nodes=n)
+    params16 = model16.init_params(jax.random.PRNGKey(0))
+    opt16 = model16.init_opt_state(params16)
+
+    def one_step16(params, opt_state, key):
+        return model16._train_step(
+            params, opt_state, dense, None, None, pos, neg, margin, mask,
+            lr, key, False,
+        )
+
+    params16, opt16, loss16 = one_step16(params16, opt16, jax.random.PRNGKey(1))
+    float(loss16)
+    t0 = time.time()
+    for i in range(iters):
+        params16, opt16, loss16 = one_step16(
+            params16, opt16, jax.random.PRNGKey(i)
+        )
+    float(loss16)
+    dt16 = (time.time() - t0) / iters
+    emit(
+        {
+            "metric": "train_step_bf16_agg_edges_per_sec_per_chip",
+            "value": round(num_edges * cfg.gnn_num_layers * 2 / dt16),
+            "unit": f"edges/s (same ddi-size train step, "
+            f"--compute_dtype=bfloat16; {dt16*1e3:.1f} ms vs f32 "
+            f"{dt*1e3:.1f} ms)",
+            "vs_baseline": round(
+                (num_edges * cfg.gnn_num_layers * 2 / dt16)
+                / BASELINE_EDGES_PER_SEC,
+                3,
+            ),
+        }
+    )
+    del model16, params16, opt16
+
     # ---- sparse-path metric: collab-scale blocked-CSR SpMM fwd+bwd ----
     from plnlp_tpu.ops.spmm import spmm_blocked
 

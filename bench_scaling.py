@@ -257,6 +257,42 @@ def main():
                 )
             )
 
+            # distributed block-sparse attention over the SAME tiled
+            # partition (round 5, parallel/tile_transformer) — shard-local
+            # flash sweeps; the metric to watch on real ICI vs the per-edge
+            # partitioned TransformerConv
+            from plnlp_tpu.models.encoders import apply_encoder, init_encoder
+
+            ta_params = init_encoder(
+                jax.random.PRNGKey(3), "TRANSFORMER", args.dim, args.dim, 1
+            )
+            fa = jax.jit(
+                jax.value_and_grad(
+                    lambda x: jnp.sum(
+                        apply_encoder(ta_params, "TRANSFORMER", gp, x) ** 2
+                    )
+                )
+            )
+            v, g = fa(x)
+            float(v)
+            t0 = time.time()
+            for _ in range(args.iters):
+                v, g = fa(x)
+            float(v)
+            dt = (time.time() - t0) / args.iters
+            print(
+                json.dumps(
+                    {
+                        "comm": "all_gather",
+                        "backend": "tiled-attention",
+                        "tile": args.tile,
+                        "shards": shards,
+                        "attn_fwd_bwd_ms": round(dt * 1000, 1),
+                        "edges_per_sec": round(2 * args.num_edges * 2 / dt),
+                    }
+                )
+            )
+
 
 if __name__ == "__main__":
     main()

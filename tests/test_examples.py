@@ -34,6 +34,7 @@ def _run(script):
         ("serving.py", "top-5 candidates for node 0"),
         ("custom_dataset.py", "Hits@50 from npz dataset"),
         ("hybrid_tiles.py", "hybrid backend Hits@50"),
+        ("distributed_attention.py", "devices: 8"),
     ],
 )
 def test_example_runs(script, needle):
