@@ -427,8 +427,16 @@ def build_hybrid(
         res_csr_t = _csr_np(r_dst, r_src, r_w, num_nodes, False, False, 1)
         from plnlp_tpu.graph import _to_graph
 
-        res_g = _to_graph(res_csr, _blocks_np(res_csr, *block))
-        res_gt = _to_graph(res_csr_t, _blocks_np(res_csr_t, *block))
+        # The residual is sparse BY CONSTRUCTION (inter-community edges
+        # only), so block_edges is capped at the Pallas sub-block width:
+        # B=512 pads the residual's gathered rows 1.70x where 128 pads
+        # 1.27x, and the residual gather is the hybrid step's largest
+        # term.  Chip A/B (round 5): 19.4 ms @ B=512 vs 17.9-18.2 ms
+        # @ B=128; B=64 gives the padding back to the kernel's internal
+        # sub-block pad.  Explicit block_edges < 128 is honored.
+        res_block = (block[0], min(block[1], 128))
+        res_g = _to_graph(res_csr, _blocks_np(res_csr, *res_block))
+        res_gt = _to_graph(res_csr_t, _blocks_np(res_csr_t, *res_block))
     else:
         res_g = res_gt = None
 

@@ -636,6 +636,10 @@ def partition_graph(
         blk_es, blk_ed, blk_ew = (
             r_src.astype(np.int64), r_dst.astype(np.int64), r_w
         )
+        # the tiled residual is sparse by construction — cap block_edges
+        # at the Pallas sub-block width to cut its gather padding
+        # (single-device analog + chip A/B in ops/tile_spmm.build_hybrid)
+        B = min(B, 128)
 
     fwd, fwd_nblk = _shard_blocks(
         blk_es, blk_ed, blk_ew, num_shards, rows_per_shard, R, B
