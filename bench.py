@@ -48,10 +48,10 @@ BASELINE_TCONV_EDGES_PER_SEC = 11.0e6  # segment/autodiff path, round-3 chip-day
 BASELINE_HYBRID_EDGES_PER_SEC = 155e6  # round-3 GO measurement (32.8 ms, XLA tiles)
 BASELINE_TCONV_HEALTHY = 17.2e6  # blocked hand-VJP transformer, healthy day r4
 BASELINE_SERVING_ALLPAIRS = 38e6  # round-5 landing: all-pairs MLP grid
-BASELINE_SERVING_DOT_ALLPAIRS = 100e6  # round-5 landing: factorized DOT grid
+BASELINE_SERVING_DOT_ALLPAIRS = 90e6  # round-5 landing; run-to-run band 92-111M
 QUALITY_GATE_HITS50 = 8.0  # tripwire at ~0.8x healthy 9.9 (was 6.0 r3-r4)
 QUALITY_GATE_MRR = 0.40  # tripwire at ~0.85x healthy 0.467 (was 0.30)
-QUALITY_GATE_ATTN_HITS50 = 7.0  # TRANSFORMER+hybrid gate; 8.5 at landing
+QUALITY_GATE_ATTN_HITS50 = 8.0  # TRANSFORMER+hybrid gate; 10.3 at landing
 
 
 def _wait_for_backend(max_wait_s: float = 900.0) -> None:
@@ -305,16 +305,24 @@ def main():
     # capturing the tile store as a lowering constant overflows the
     # remote-compile request (measured: HTTP 413 at 616 MB).
     from plnlp_tpu.data.synthetic import make_sbm_graph
-    from plnlp_tpu.ops.tile_spmm import build_hybrid
+    from plnlp_tpu.ops.tile_spmm import build_hybrid, label_prop_order
     from plnlp_tpu.ops.spmm import spmm as spmm_any
 
     if have_time(90, "hybrid_tile_spmm+attention"):
         h_src, h_dst = make_sbm_graph(
             np.random.default_rng(7), ns, es, num_communities=800
         )
+        # the PRODUCT configuration (cli.py round 5): the id space is
+        # relabeled to slot order on host once, so the operand carries no
+        # perm_in/perm_out and the per-call feature permutations (4
+        # full-matrix gathers per fwd+bwd, ~6.5 ms at this scale) are gone
+        h_order = label_prop_order(h_src, h_dst, ns)
+        h_map = np.empty(ns, np.int64)
+        h_map[h_order] = np.arange(ns)
+        h_src, h_dst = h_map[h_src], h_map[h_dst]
         hg = build_hybrid(
             h_src, h_dst, None, num_nodes=ns, tile=256, min_fill=96,
-            symmetrize=True, reorder="labelprop", dtype="bfloat16",
+            symmetrize=True, reorder=None, dtype="bfloat16",
         )
         h_edges = hg.dense_edges + hg.res_edges
         xh = jax.random.normal(jax.random.PRNGKey(0), (ns, ds), jnp.bfloat16)
@@ -343,7 +351,7 @@ def main():
                 "metric": "hybrid_tile_spmm_fwd_bwd_edges_per_sec",
                 "value": round(hy_eps),
                 "unit": f"edges/s (collab-size 800-community SBM N={ns} "
-                f"E={h_edges} D=256 bf16; {hg.num_tiles} tiles "
+                f"E={h_edges} D=256 bf16 pre-relabeled (CLI id-space relabel, no perms); {hg.num_tiles} tiles "
                 f"{100 * hg.dense_edges // h_edges}% dense, "
                 f"store={hg.tile_vals.dtype}; {hy_dt*1e3:.1f} ms)",
                 "vs_baseline": round(hy_eps / BASELINE_HYBRID_EDGES_PER_SEC, 3),
@@ -382,7 +390,7 @@ def main():
                 "metric": "hybrid_tile_attention_fwd_bwd_edges_per_sec",
                 "value": round(ta_eps),
                 "unit": f"edges/s (collab-size 800-community SBM N={ns} "
-                f"E={h_edges} D=256 bf16 block-sparse flash TransformerConv "
+                f"E={h_edges} D=256 bf16 pre-relabeled block-sparse flash TransformerConv "
                 f"fwd+bwd; {ta_dt*1e3:.1f} ms; anchor = blocked hand-VJP "
                 f"17.2M e/s)",
                 "vs_baseline": round(ta_eps / BASELINE_TCONV_HEALTHY, 3),

@@ -16,13 +16,17 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 from plnlp_tpu.data.synthetic import make_sbm_graph
 from plnlp_tpu.models.encoders import apply_encoder, init_encoder
 from plnlp_tpu.ops import tile_attention as ta
-from plnlp_tpu.ops.tile_spmm import build_hybrid
+from plnlp_tpu.ops.tile_spmm import build_hybrid, label_prop_order
 
 ns, es, ds = 236_000, 1_300_000, 256
 h_src, h_dst = make_sbm_graph(np.random.default_rng(7), ns, es, num_communities=800)
+# product configuration (cli.py round 5): pre-relabeled id space, no perms
+h_order = label_prop_order(h_src, h_dst, ns)
+h_map = np.empty(ns, np.int64)
+h_map[h_order] = np.arange(ns)
 hg = build_hybrid(
-    h_src, h_dst, None, num_nodes=ns, tile=256, min_fill=96,
-    symmetrize=True, reorder="labelprop", dtype="bfloat16",
+    h_map[h_src], h_map[h_dst], None, num_nodes=ns, tile=256, min_fill=96,
+    symmetrize=True, reorder=None, dtype="bfloat16",
 )
 h_edges = hg.dense_edges + hg.res_edges
 print(f"tiles={hg.num_tiles} dense={hg.dense_edges} res={hg.res_edges}")

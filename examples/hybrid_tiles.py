@@ -4,7 +4,7 @@ The blocked-CSR sparse path is bound by the XLA row gather (~9 ns/row on
 v5e — every edge pays one gathered row).  On graphs with tile-scale dense
 communities, `--adj_backend=hybrid` reorders nodes by label-propagation
 communities and runs the dense diagonal tiles as contiguous-read MXU
-matmuls instead — measured 1.89× over blocked CSR at ogbl-collab scale (round 4: fused Pallas tile kernel + int8 storage)
+matmuls instead — measured 3.8× over blocked CSR at ogbl-collab scale (rounds 4-5: fused Pallas tile kernel + int8 storage + CLI id-space relabel)
 (RESULTS.md round 3).  This example shows both the CLI flag and the
 library objects, and prints the tile coverage the reorder achieved.
 

@@ -99,8 +99,8 @@ def argument(argv=None):
         choices=["auto", "dense", "csr", "hybrid"],
         help="dense adjacency (MXU path, small graphs), blocked CSR, or "
         "hybrid dense-tile+CSR (label-prop reordered community tiles on "
-        "the MXU, gather residual; 1.89x over blocked CSR on "
-        "community-structured graphs — RESULTS.md round 4; all four "
+        "the MXU, gather residual; 3.8x over blocked CSR on "
+        "community-structured graphs — RESULTS.md rounds 4-5; all four "
         "encoders — TRANSFORMER runs block-sparse tile attention). "
         "'auto' picks dense below --dense_threshold nodes, then "
         "estimates post-reorder tile coverage (ops.tile_spmm."
@@ -397,6 +397,29 @@ def get_eval_edges(split_edge, split: str) -> Dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
+_SPLIT_ID_KEYS = (
+    "edge",
+    "edge_neg",
+    "source_node",
+    "target_node",
+    "target_node_neg",
+)
+
+
+def _relabel_split_edge(split_edge, node_relabel):
+    """Map every node-id-bearing array of a split dict (both OGB layouts,
+    utils.py:7-41) through ``node_relabel`` (old id -> slot id); weights
+    and other payloads pass through untouched."""
+    out = {}
+    for split, d in split_edge.items():
+        nd = dict(d)
+        for k in list(nd):
+            if k in _SPLIT_ID_KEYS and nd[k] is not None:
+                nd[k] = node_relabel[np.asarray(nd[k])]
+        out[split] = nd
+    return out
+
+
 def prepare_experiment(args, log=print, serving=False):
     """Everything up to (but excluding) the run loop; returns a dict.
 
@@ -437,6 +460,8 @@ def prepare_experiment(args, log=print, serving=False):
     # order feeds build_hybrid so the reorder sweep runs once.
     backend = args.adj_backend
     auto_order = None
+    node_relabel = None  # old id -> slot id (hybrid id-space relabel)
+    order = None  # slot id -> old id (its inverse)
     if backend == "auto" and not use_dense:
         if serving:
             # Serving computes h once per restore (serve.Scorer caches the
@@ -460,11 +485,8 @@ def prepare_experiment(args, log=print, serving=False):
             thr = getattr(args, "tile_auto_coverage", 0.35)
             backend = "hybrid" if est["coverage"] >= thr else "csr"
             if backend == "hybrid":
-                # both consumers reuse the estimator's order: single-shard
-                # build_hybrid relabels by it directly; the tiled partition
-                # feeds it to assign_slots (which adds the equal-edge
-                # contiguous-range split on top) — either way the reorder
-                # sweep runs once.
+                # the dataset id-space relabel below consumes the
+                # estimator's order, so the reorder sweep runs once
                 auto_order = est["order"]
             log(
                 f"auto backend: estimated tile coverage "
@@ -473,6 +495,43 @@ def prepare_experiment(args, log=print, serving=False):
                 f"/min_fill={getattr(args, 'tile_min_fill', 384)}, "
                 f"threshold {thr:.0%}) -> {backend}"
             )
+    if backend == "hybrid":
+        # Host-side ID-SPACE relabel (round 5): apply the community
+        # reorder to the DATASET once — node ids BECOME slot ids, so the
+        # per-call feature permutations of the library-level build
+        # (perm_in/perm_out: FOUR full-matrix row gathers per fwd+bwd)
+        # vanish from the hot path.  Chip A/B: hybrid SpMM 19.5 -> 13.1
+        # ms, attention 64.6 -> 57.1 ms (RESULTS.md round 5).  Edges,
+        # splits, features and the pretrained table relabel on host once
+        # per run; metrics are id-agnostic.  Serving rebuilds the same
+        # deterministic order and translates user pairs (run_scoring).
+        # Applies at ANY shard count — the tiled partition then receives
+        # the IDENTITY order (communities already contiguous).
+        from plnlp_tpu.ops.tile_spmm import estimate_hybrid
+
+        reorder_mode = getattr(args, "tile_reorder", "labelprop")
+        order = auto_order
+        if order is None and reorder_mode != "none":
+            order = estimate_hybrid(
+                surg["adj_src"],
+                surg["adj_dst"],
+                num_nodes=num_nodes,
+                tile=getattr(args, "tile_size", 512),
+                min_fill=getattr(args, "tile_min_fill", 384),
+                symmetrize=True,
+                reorder=reorder_mode,
+            )["order"]
+        if order is not None:
+            node_relabel = np.empty(num_nodes, np.int64)
+            node_relabel[order] = np.arange(num_nodes)
+            surg["adj_src"] = node_relabel[np.asarray(surg["adj_src"])]
+            surg["adj_dst"] = node_relabel[np.asarray(surg["adj_dst"])]
+            split_edge = _relabel_split_edge(split_edge, node_relabel)
+            surg["split_edge"] = split_edge
+            if node_feat is not None:
+                node_feat = np.asarray(node_feat)[order]
+            log("hybrid backend: id space relabeled to slot order "
+                f"({reorder_mode}; per-call feature perms removed)")
     # hybrid x multi-chip composes with ALL encoders: TRANSFORMER runs the
     # distributed block-sparse flash attention (parallel.tile_transformer)
     # over the per-shard tile sets + blocked residual (round 5).
@@ -509,7 +568,14 @@ def prepare_experiment(args, log=print, serving=False):
             tile=getattr(args, "tile_size", 512) if hybrid_multichip else 0,
             min_fill=getattr(args, "tile_min_fill", 384),
             tile_dtype=getattr(args, "compute_dtype", "float32"),
-            order=auto_order,
+            # relabeled dataset -> communities already slot-contiguous:
+            # the identity order skips the partition's own reorder sweep
+            # (equal-edge range split still applies on top)
+            order=(
+                np.arange(num_nodes, dtype=np.int64)
+                if (hybrid_multichip and order is not None)
+                else auto_order
+            ),
             log=log,
         )
         pg = graph.pg
@@ -538,7 +604,9 @@ def prepare_experiment(args, log=print, serving=False):
         graph_t = None
     elif backend == "hybrid":
         # TRANSFORMER included: block-sparse attention over the tiles
-        # (ops/tile_attention.py, round 4).
+        # (ops/tile_attention.py, round 4).  The id-space relabel already
+        # happened above, so the build needs no internal reorder and
+        # carries NO perm_in/perm_out.
         from plnlp_tpu.ops.tile_spmm import build_hybrid
 
         graph = build_hybrid(
@@ -550,8 +618,7 @@ def prepare_experiment(args, log=print, serving=False):
             min_fill=getattr(args, "tile_min_fill", 384),
             block=(args.block_rows, args.block_edges),
             dtype=getattr(args, "compute_dtype", "float32"),
-            reorder=getattr(args, "tile_reorder", "labelprop"),
-            order=auto_order,
+            reorder=None,
         )
         graph_t = None
         log(
@@ -560,7 +627,9 @@ def prepare_experiment(args, log=print, serving=False):
             # x2: tile_vals AND the transposed tile_vals_t (backward) are
             # both resident in HBM; itemsize from the STORED dtype (int8
             # when exact, else the compute dtype).
-            f"edges, {2 * graph.num_tiles * graph.tile**2 * graph.tile_vals.dtype.itemsize >> 20} MB incl. transpose, store={graph.tile_vals.dtype})"
+            f"edges, {2 * graph.num_tiles * graph.tile**2 * graph.tile_vals.dtype.itemsize >> 20} MB incl. transpose, store={graph.tile_vals.dtype}"
+            + (", id space relabeled to slot order" if order is not None else "")
+            + ")"
         )
     else:
         graph, graph_t = prepare_graph(
@@ -596,6 +665,9 @@ def prepare_experiment(args, log=print, serving=False):
             pretrain_emb = (
                 torch.load(args.pretrain_emb, map_location="cpu").cpu().numpy()
             )
+        if order is not None:
+            # rows follow the id-space relabel: new_emb[slot] = old[order[slot]]
+            pretrain_emb = np.asarray(pretrain_emb)[np.asarray(order)]
 
     cfg = ModelConfig(
         encoder=args.encoder,
@@ -643,6 +715,9 @@ def prepare_experiment(args, log=print, serving=False):
         "node_feats": None if node_feat is None else jnp.asarray(node_feat),
         "num_nodes": num_nodes,
         "mesh": mesh,
+        # hybrid id-space relabel (old id -> slot id) or None; serving
+        # translates user-facing node ids through it (run_scoring)
+        "node_relabel": node_relabel,
     }
 
 
@@ -943,6 +1018,12 @@ def run_scoring(args, log=print):
         mesh=exp["mesh"],
     )
     pairs = np.load(args.score_pairs)
+    if exp["node_relabel"] is not None:
+        # the hybrid backend relabels the id space at build time (same
+        # deterministic order as the trained run); user pairs arrive in
+        # ORIGINAL ids — translate before scoring.  Scores come back in
+        # input order, so no inverse mapping is needed.
+        pairs = exp["node_relabel"][np.asarray(pairs)]
     scores = sc.score(pairs)
     np.save(args.score_out, scores)
     log(f"scored {len(pairs)} pairs -> {args.score_out}")

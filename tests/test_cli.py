@@ -385,6 +385,27 @@ def test_auto_backend_serving_skips_estimation():
     assert any("serving mode -> csr" in str(l) for l in lines), lines
 
 
+def test_hybrid_relabel_mrr_layout_runs():
+    """The hybrid id-space relabel (round 5) maps BOTH split layouts:
+    the mrr (citation2-style) split carries source_node/target_node/
+    target_node_neg arrays — a run over it must complete with finite
+    MRR (guards _relabel_split_edge's key coverage)."""
+    loggers = run_experiment(
+        _args(
+            data_name="synthetic:mrr-sbm:num_nodes=1000,num_edges=12000",
+            eval_metric="mrr",
+            adj_backend="hybrid",
+            tile_size=64,
+            tile_min_fill=4,
+            epochs=2,
+            batch_size=2048,
+        ),
+        log=lambda *_: None,
+    )
+    res = np.asarray(loggers["MRR"].results[0], np.float64)
+    assert res.size > 0 and np.isfinite(res).all()
+
+
 def test_auto_backend_hybrid_runs_end_to_end():
     """A 1-epoch training run completes on the auto-chosen hybrid backend
     (the order computed by the estimator is reused by build_hybrid)."""
