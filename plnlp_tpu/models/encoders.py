@@ -216,11 +216,35 @@ def apply_encoder(
     remat: bool = False,
 ):
     """``remat=True`` rematerializes each conv layer in the backward pass
-    (jax.checkpoint) — trades FLOPs for activation memory on giant graphs."""
+    (jax.checkpoint) — trades FLOPs for activation memory on giant graphs.
+
+    Padded-carry (round 5): over a perm-free HybridGraph the whole layer
+    stack runs at n_pad = num_nodes rounded up to the tile size — x is
+    padded ONCE here and sliced back ONCE at the end, so the per-layer
+    pad/slice HBM round-trips of the tile ops vanish (hybrid_spmm /
+    hybrid_transformer_conv detect the padded operand).  Pad rows carry
+    garbage (bias -> relu chains); that is safe because pad nodes have no
+    edges — every tile access is adjacency-masked and the residual's
+    indices are < num_nodes — and their cotangents are exactly zero (the
+    only consumer of pad rows is the final slice).  Only dropout masks
+    shift (the mask SHAPE changes), which is seed-relabeling, not a
+    semantics change."""
+    from plnlp_tpu.graph import _pad_to
+    from plnlp_tpu.ops.tile_spmm import HybridGraph
+
     name = name.upper()
     conv = _CONVS[name]
     if remat:
         conv = jax.checkpoint(conv, static_argnums=())
+    pad_rows = 0
+    if (
+        isinstance(graph, HybridGraph)
+        and graph.perm_in is None
+        and x.shape[0] == graph.num_nodes
+    ):
+        pad_rows = _pad_to(graph.num_nodes, graph.tile) - graph.num_nodes
+        if pad_rows:
+            x = jnp.pad(x, ((0, pad_rows), (0, 0)))
     layers = params["layers"]
     num_layers = len(layers)
     keys = (
@@ -236,4 +260,6 @@ def apply_encoder(
         # (layer.py:23-27) — load-bearing for the collab-RW config.
         x = jax.nn.relu(x)
         x = _dropout(x, dropout, keys[-1], train)
+    if pad_rows:
+        x = x[: graph.num_nodes]
     return x

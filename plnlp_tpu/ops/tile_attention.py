@@ -99,8 +99,9 @@ def _res_partials(hg, q, k, v, scale):
     the gathered sender values, and the per-row max.  k and v ride ONE
     two-wide gather at the shared sender indices — the XLA row gather is
     row-RATE bound, flat in width (RESULTS.md), so the fusion halves the
-    sender-side gather cost."""
-    n = hg.num_nodes
+    sender-side gather cost.  Row-count follows q (n, or n_pad under
+    padded-carry; edge indices are < n either way)."""
+    n = q.shape[0]
     g = hg.res_graph
     if g is None:
         return None, None, None, jnp.full((n,), -jnp.inf, jnp.float32)
@@ -133,20 +134,27 @@ def _flash_attn_fwd(scale, hg, q, k, v):
     D = q.shape[1]
     n_pad = _pad_to(n, T)
     nR = n_pad // T
+    # padded-carry: q/k/v arrive at n_pad rows -> tiles() is a free
+    # reshape, the merge runs at n_pad rows, and y keeps n_pad rows (pad
+    # rows land at 0/tiny = 0; every kernel access is adjacency-masked so
+    # garbage pad-row features never reach real rows)
+    rows = q.shape[0]
 
     def tiles(a):
-        return jnp.pad(a, ((0, n_pad - n), (0, 0))).reshape(nR, T, D)
+        if rows != n_pad:
+            a = jnp.pad(a, ((0, n_pad - rows), (0, 0)))
+        return a.reshape(nR, T, D)
 
     Qp, Kp, Vp = tiles(q), tiles(k), tiles(v)
     num, stats_l = _pa.flash_tiles_fwd(
         hg.tile_vals, hg.tile_row, hg.tile_col, Qp, Kp, Vp, nR, scale
     )
-    num = num[:n]
-    den_t = stats_l[:n, 0]
-    m_t = stats_l[:n, 1]
+    num = num[:rows]
+    den_t = stats_l[:rows, 0]
+    m_t = stats_l[:rows, 1]
     if hg.row_mask is not None:
         # uncovered row tiles hold undefined kernel output
-        rm = jnp.repeat(hg.row_mask, T)[:n]
+        rm = jnp.repeat(hg.row_mask, T)[:rows]
         num = jnp.where(rm[:, None], num, 0.0)
         den_t = jnp.where(rm, den_t, 0.0)
         m_t = jnp.where(rm, m_t, -jnp.inf)
@@ -161,12 +169,12 @@ def _flash_attn_fwd(scale, hg, q, k, v):
     if g is not None:
         ex = jnp.where(valid, jnp.exp(logits - M[g.receivers]), 0.0)
         den = den + jax.ops.segment_sum(
-            ex, g.receivers, num_segments=n, indices_are_sorted=True
+            ex, g.receivers, num_segments=rows, indices_are_sorted=True
         )
         num = num + jax.ops.segment_sum(
             v_s * ex[:, None],
             g.receivers,
-            num_segments=n,
+            num_segments=rows,
             indices_are_sorted=True,
         )
     den = jnp.maximum(den, jnp.finfo(jnp.float32).tiny)
@@ -179,20 +187,26 @@ def _flash_attn_bwd(scale, res, gy):
     n, T = hg.num_nodes, hg.tile
     nR, _, D = Qp.shape
     n_pad = nR * T
+    rows = M.shape[0]  # n, or n_pad under padded-carry
     cdt = Qp.dtype
     gy = gy.astype(jnp.float32)
     delta = jnp.sum(gy * y, axis=-1)  # the flash trick: sum_d g*y per row
-    Gp = jnp.pad(gy.astype(cdt), ((0, n_pad - n), (0, 0))).reshape(nR, T, D)
+    Gp = gy.astype(cdt)
+    if rows != n_pad:
+        Gp = jnp.pad(Gp, ((0, n_pad - rows), (0, 0)))
+    Gp = Gp.reshape(nR, T, D)
 
-    # per-row stats: one (n, 3) array serves the residual gathers below
+    # per-row stats: one (rows, 3) array serves the residual gathers below
     # AND (padded) the two layouts the kernels consume.  Padding rows
-    # (>= n) get den=1: their alpha is 0/1 = 0 instead of 0/0 = nan, which
-    # matters in the dkv kernel where nan destination COLUMNS would poison
-    # every accumulator row through the (src,dst)@(dst,D) matmul.
-    pad_n = n_pad - n
-    stat3 = jnp.stack([M, den, delta], axis=1)  # (n, 3)
+    # (>= rows) get den=1: their alpha is 0/1 = 0 instead of 0/0 = nan,
+    # which matters in the dkv kernel where nan destination COLUMNS would
+    # poison every accumulator row through the (src,dst)@(dst,D) matmul.
+    # (Under padded-carry the fwd already clamped every row's den >= tiny,
+    # so there is no pad left to patch.)
+    pad_n = n_pad - rows
+    stat3 = jnp.stack([M, den, delta], axis=1)  # (rows, 3)
     stat = jnp.pad(stat3, ((0, pad_n), (0, 0)))
-    stat = stat.at[n:, 1].set(1.0) if pad_n else stat
+    stat = stat.at[rows:, 1].set(1.0) if pad_n else stat
     mdd = _pa.pack_mdd(stat)
     mdd_t = _pa.pack_mdd_t(stat, T)
 
@@ -209,7 +223,7 @@ def _flash_attn_bwd(scale, res, gy):
         rmt = jnp.repeat(hg.row_mask_t, T)[:, None]
         dk = jnp.where(rmt, dk, 0.0)
         dv = jnp.where(rmt, dv, 0.0)
-    dq, dk, dv = dq[:n], dk[:n], dv[:n]
+    dq, dk, dv = dq[:rows], dk[:rows], dv[:rows]
 
     g, gt = hg.res_graph, hg.res_graph_t
     if g is not None:
@@ -218,9 +232,10 @@ def _flash_attn_bwd(scale, res, gy):
         # (M, den, delta) stats as one 3-wide gather — 4 feature + 2 stat
         # gathers total instead of 15 single ones.  gy rides in the
         # compute dtype, matching the kernel side (Gp is cdt too).
-        qn = Qp.reshape(n_pad, D)[:n]
+        qn = Qp.reshape(n_pad, D)[:rows]
         kvc = jnp.concatenate(
-            [Kp.reshape(n_pad, D)[:n], Vp.reshape(n_pad, D)[:n]], axis=-1
+            [Kp.reshape(n_pad, D)[:rows], Vp.reshape(n_pad, D)[:rows]],
+            axis=-1,
         )
         qgc = jnp.concatenate([qn, gy.astype(cdt)], axis=-1)
         # dq: edges in destination-sorted order (res_graph)
@@ -237,7 +252,7 @@ def _flash_attn_bwd(scale, res, gy):
         dq = dq + jax.ops.segment_sum(
             ds[:, None] * k_s,
             g.receivers,
-            num_segments=n,
+            num_segments=rows,
             indices_are_sorted=True,
         )
         # dk/dv: the SAME edges in source-sorted order (res_graph_t:
@@ -258,13 +273,13 @@ def _flash_attn_bwd(scale, res, gy):
         dk = dk + jax.ops.segment_sum(
             dst_[:, None] * q_t,
             gt.receivers,
-            num_segments=n,
+            num_segments=rows,
             indices_are_sorted=True,
         )
         dv = dv + jax.ops.segment_sum(
             alt[:, None] * gy_t,
             gt.receivers,
-            num_segments=n,
+            num_segments=rows,
             indices_are_sorted=True,
         )
 
@@ -282,7 +297,14 @@ def hybrid_transformer_conv(lp, hg, x):
     from plnlp_tpu.nn import linear
 
     n = hg.num_nodes
-    x = x[:n]
+    # padded-carry (apply_encoder over a perm-free operand): x arrives at
+    # n_pad rows and the output keeps them — the per-layer pad/slice
+    # copies vanish; pad rows carry garbage that every tile/residual
+    # access masks away and whose cotangents are exactly zero (the only
+    # consumer of pad rows is the encoder's final [:n] slice).
+    padded = hg.perm_in is None and x.shape[0] == _pad_to(n, hg.tile)
+    if not padded:
+        x = x[:n]
     if hg.perm_in is not None:
         xs = x[hg.perm_in]
     else:
@@ -311,9 +333,12 @@ def hybrid_transformer_conv(lp, hg, x):
     T = hg.tile
     n_pad = _pad_to(n, T)
     nR = n_pad // T
+    rows = xs.shape[0]  # n, or n_pad under padded-carry
 
     def tiles_of(a):
-        return jnp.pad(a, ((0, n_pad - n), (0, 0))).reshape(nR, T, -1)
+        if rows != n_pad:
+            a = jnp.pad(a, ((0, n_pad - rows), (0, 0)))
+        return a.reshape(nR, T, -1)
 
     Qp, Kp, Vp = tiles_of(q), tiles_of(k), tiles_of(v)
     vals_c, trow_c, tcol_c = _chunked_tiles(hg)
@@ -343,10 +368,10 @@ def hybrid_transformer_conv(lp, hg, x):
         )
         m_res = jax.ops.segment_max(
             jnp.where(valid, logits_res, neg_inf),
-            g.receivers, num_segments=n, indices_are_sorted=True,
+            g.receivers, num_segments=rows, indices_are_sorted=True,
         )
     else:
-        m_res = jnp.full((n,), -jnp.inf, jnp.float32)
+        m_res = jnp.full((rows,), -jnp.inf, jnp.float32)
 
     # --- pass A: global per-row max (plateau-flat -> no gradient path) ---
     QpS, KpS = jax.lax.stop_gradient(Qp), jax.lax.stop_gradient(Kp)
@@ -362,10 +387,10 @@ def hybrid_transformer_conv(lp, hg, x):
         jnp.full((nR, T), -jnp.inf, jnp.float32),
         (vals_c, trow_c, tcol_c),
     )
-    m = jnp.maximum(m_tile.reshape(n_pad)[:n], m_res)
+    m = jnp.maximum(m_tile.reshape(n_pad)[:rows], m_res)
     m = jnp.where(jnp.isfinite(m), m, 0.0)  # isolated rows: exp(x-0) unused
     m = jax.lax.stop_gradient(m)
-    m_pad = jnp.pad(m, (0, n_pad - n)).reshape(nR, T)
+    m_pad = jnp.pad(m, (0, n_pad - rows)).reshape(nR, T)
 
     # --- pass B: exp-weighted accumulation, tiles then residual ---------
     def acc_step(carry, chunk):
@@ -392,17 +417,17 @@ def hybrid_transformer_conv(lp, hg, x):
         ),
         (vals_c, trow_c, tcol_c),
     )
-    den = den_t.reshape(n_pad)[:n]
-    num = num_t.reshape(n_pad, d)[:n]
+    den = den_t.reshape(n_pad)[:rows]
+    num = num_t.reshape(n_pad, d)[:rows]
 
     if g is not None:
         ex = jnp.where(valid, jnp.exp(logits_res - m[g.receivers]), 0.0)
         den = den + jax.ops.segment_sum(
-            ex, g.receivers, num_segments=n, indices_are_sorted=True
+            ex, g.receivers, num_segments=rows, indices_are_sorted=True
         )
         num = num + jax.ops.segment_sum(
             v[g.senders].astype(jnp.float32) * ex[:, None],
-            g.receivers, num_segments=n, indices_are_sorted=True,
+            g.receivers, num_segments=rows, indices_are_sorted=True,
         )
 
     den = jnp.maximum(den, jnp.finfo(jnp.float32).tiny)

@@ -542,13 +542,24 @@ def tile_pass_tiles(vals, trow, tcol, x_tiles, n_rowtiles, row_mask=None):
 def _tile_pass(vals, trow, tcol, x, num_nodes, T, row_mask=None):
     """out[trow] += vals @ x_tiles[tcol]; returns (rows_pad, D)."""
     n_pad = _pad_to(num_nodes, T)
-    xp = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
-    x_tiles = xp.reshape(n_pad // T, T, x.shape[-1])
+    if x.shape[0] != n_pad:
+        # padded-carry callers (apply_encoder over a perm-free hybrid)
+        # hand x at n_pad rows already — the pad becomes a free reshape
+        x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+    x_tiles = x.reshape(n_pad // T, T, x.shape[-1])
     return tile_pass_tiles(vals, trow, tcol, x_tiles, n_pad // T, row_mask)
 
 
 def _hybrid_dir(hg: HybridGraph, x, direction: str):
+    """One aggregation direction over the hybrid operand.  Output rows
+    follow the INPUT rows: x at num_nodes rows -> (num_nodes, D); x already
+    tile-padded to n_pad rows (padded-carry) -> (n_pad, D) with zero pad
+    rows — pad sources have no edges (all-zero tile columns / absent from
+    the residual's blk_src), so garbage pad-row features cannot propagate
+    into real rows in either direction."""
     n = hg.num_nodes
+    n_pad = _pad_to(n, hg.tile)
+    padded = x.shape[0] == n_pad
     if direction == "fwd":
         vals, trow, tcol, mask, res = (
             hg.tile_vals, hg.tile_row, hg.tile_col, hg.row_mask,
@@ -559,13 +570,19 @@ def _hybrid_dir(hg: HybridGraph, x, direction: str):
             hg.tile_vals_t, hg.tile_row_t, hg.tile_col_t, hg.row_mask_t,
             (hg.res_graph_t, hg.res_graph),
         )
-    out = _tile_pass(vals, trow, tcol, x, n, hg.tile, row_mask=mask)[:n]
+    rows = n_pad if padded else n
+    out = _tile_pass(vals, trow, tcol, x, n, hg.tile, row_mask=mask)[:rows]
     g = res[0]
     if g is not None:
-        out = out + blocked_sum_arrays(
+        bp = _pad_to(n, g.block_rows)  # blocked layout's own row pad <= n_pad
+        res_out = blocked_sum_arrays(
             x, g.blk_src, g.blk_weight, g.blk_local, g.blk_rowblock,
-            g.block_rows, _pad_to(n, g.block_rows),
-        )[:n]
+            g.block_rows, bp,
+        )
+        if padded and bp < n_pad:
+            out = out.at[:bp].add(res_out)
+        else:
+            out = out + res_out[:rows]
     return out
 
 
@@ -600,11 +617,22 @@ _hybrid_core.defvjp(_hybrid_fwd, _hybrid_bwd)
 
 
 def hybrid_spmm(hg: HybridGraph, x: jnp.ndarray, reduce: str = "sum"):
-    """Sum/mean aggregation over the hybrid operand; x is (num_nodes, D)."""
-    out = _hybrid_core(hg, x[: hg.num_nodes])
+    """Sum/mean aggregation over the hybrid operand; x is (num_nodes, D),
+    or — padded-carry, perm-free operands only — (n_pad, D) with n_pad =
+    num_nodes rounded up to the tile size, in which case the output keeps
+    the padded row count (pad rows zero) and the per-layer pad/slice
+    copies of the encoder loop vanish (apply_encoder drives this)."""
+    n = hg.num_nodes
+    n_pad = _pad_to(n, hg.tile)
+    if hg.perm_in is None and x.shape[0] == n_pad:
+        out = _hybrid_core(hg, x)
+    else:
+        out = _hybrid_core(hg, x[:n])
     if reduce == "mean":
         deg = hg.in_degrees  # precomputed, original id space
         scale = jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)
+        if out.shape[0] != scale.shape[0]:
+            scale = jnp.pad(scale, (0, out.shape[0] - scale.shape[0]))
         out = out * scale[:, None].astype(out.dtype)
     elif reduce != "sum":
         raise ValueError(f"unknown reduce: {reduce}")
