@@ -236,6 +236,9 @@ def apply_encoder(
     conv = _CONVS[name]
     if remat:
         conv = jax.checkpoint(conv, static_argnums=())
+    # This is the padding SIDE of the protocol; the tile ops detect the
+    # padded operand via tile_spmm.is_padded_operand (the single source
+    # of the in-band predicate).
     pad_rows = 0
     if (
         isinstance(graph, HybridGraph)

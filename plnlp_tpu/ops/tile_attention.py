@@ -302,7 +302,9 @@ def hybrid_transformer_conv(lp, hg, x):
     # copies vanish; pad rows carry garbage that every tile/residual
     # access masks away and whose cotangents are exactly zero (the only
     # consumer of pad rows is the encoder's final [:n] slice).
-    padded = hg.perm_in is None and x.shape[0] == _pad_to(n, hg.tile)
+    from plnlp_tpu.ops.tile_spmm import is_padded_operand
+
+    padded = is_padded_operand(hg, x)
     if not padded:
         x = x[:n]
     if hg.perm_in is not None:

@@ -539,6 +539,23 @@ def tile_pass_tiles(vals, trow, tcol, x_tiles, n_rowtiles, row_mask=None):
     return out.reshape(nR * T, d)
 
 
+def is_padded_operand(hg: "HybridGraph", x) -> bool:
+    """True iff ``x`` rides the padded-carry protocol: a PERM-FREE hybrid
+    operand whose row count is exactly num_nodes rounded up to the tile
+    size (and strictly above num_nodes).  The protocol is in-band by
+    design — that one shape opts in; callers passing oversized feature
+    matrices for any other reason must slice to num_nodes themselves
+    (the pre-round-5 "arbitrary extra rows are sliced off" contract is
+    narrowed to every shape EXCEPT this one).  Single source of the
+    predicate for apply_encoder / hybrid_spmm / hybrid_transformer_conv
+    / _hybrid_dir."""
+    return (
+        hg.perm_in is None
+        and x.shape[0] != hg.num_nodes
+        and x.shape[0] == _pad_to(hg.num_nodes, hg.tile)
+    )
+
+
 def _tile_pass(vals, trow, tcol, x, num_nodes, T, row_mask=None):
     """out[trow] += vals @ x_tiles[tcol]; returns (rows_pad, D)."""
     n_pad = _pad_to(num_nodes, T)
@@ -559,7 +576,7 @@ def _hybrid_dir(hg: HybridGraph, x, direction: str):
     into real rows in either direction."""
     n = hg.num_nodes
     n_pad = _pad_to(n, hg.tile)
-    padded = x.shape[0] == n_pad
+    padded = is_padded_operand(hg, x)
     if direction == "fwd":
         vals, trow, tcol, mask, res = (
             hg.tile_vals, hg.tile_row, hg.tile_col, hg.row_mask,
@@ -574,7 +591,12 @@ def _hybrid_dir(hg: HybridGraph, x, direction: str):
     out = _tile_pass(vals, trow, tcol, x, n, hg.tile, row_mask=mask)[:rows]
     g = res[0]
     if g is not None:
-        bp = _pad_to(n, g.block_rows)  # blocked layout's own row pad <= n_pad
+        # NB: bp is NOT bounded by n_pad in general — block_rows can
+        # exceed the tile size (e.g. small graphs with the default
+        # block=(512,512) and a smaller tile), in which case bp > n_pad
+        # and the else arm's slice handles it.  Only the strictly-shorter
+        # case may use the prefix add.
+        bp = _pad_to(n, g.block_rows)
         res_out = blocked_sum_arrays(
             x, g.blk_src, g.blk_weight, g.blk_local, g.blk_rowblock,
             g.block_rows, bp,
@@ -623,8 +645,7 @@ def hybrid_spmm(hg: HybridGraph, x: jnp.ndarray, reduce: str = "sum"):
     the padded row count (pad rows zero) and the per-layer pad/slice
     copies of the encoder loop vanish (apply_encoder drives this)."""
     n = hg.num_nodes
-    n_pad = _pad_to(n, hg.tile)
-    if hg.perm_in is None and x.shape[0] == n_pad:
+    if is_padded_operand(hg, x):
         out = _hybrid_core(hg, x)
     else:
         out = _hybrid_core(hg, x[:n])
