@@ -117,6 +117,43 @@ def test_padded_input_cotangents_are_zero(operands):
     assert float(jnp.abs(gx[N:]).max()) == 0.0
 
 
+def test_flash_path_padded_carry_interpret(operands, monkeypatch):
+    """The FLASH kernels (interpret mode) under padded-carry: apply_encoder
+    (padded) must match a direct unpadded hybrid_transformer_conv call —
+    the explicit counterpart of the chip A/B's value-parity check (the
+    scan path is covered by the parametrized encoder test above)."""
+    import functools
+
+    import plnlp_tpu.ops.pallas_attention as pa
+    import plnlp_tpu.ops.tile_attention as ta
+
+    monkeypatch.setattr(pa, "attention_pallas_supported", lambda t, d: True)
+    for name in ("flash_tiles_fwd", "flash_tiles_dq", "flash_tiles_dkv"):
+        orig = getattr(pa, name)
+        monkeypatch.setattr(pa, name, functools.partial(orig, interpret=True))
+
+    hg, _, _, x = operands
+    params = init_encoder(jax.random.PRNGKey(4), "TRANSFORMER", 32, 32, 1)
+    assert ta._flash_supported(hg, 32)
+    lp = params["layers"][0]
+
+    def f_padded(xx):
+        return jnp.sum(
+            apply_encoder(params, "TRANSFORMER", hg, xx, graph_t=None) ** 2
+        )
+
+    def f_direct(xx):
+        out = jax.nn.relu(ta.hybrid_transformer_conv(lp, hg, xx))
+        return jnp.sum(out ** 2)
+
+    vp, gp = jax.value_and_grad(f_padded)(x)
+    vd, gd = jax.value_and_grad(f_direct)(x)
+    np.testing.assert_allclose(float(vp), float(vd), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gp), np.asarray(gd), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_single_layer_quirk_under_padding(operands):
     """num_layers==1 applies relu+dropout after the layer (reference
     layer.py:23-27); the padded-carry slice must come after that."""
